@@ -1,0 +1,249 @@
+"""Typed configuration schema.
+
+Mirrors the reference's three-tier JSON config system (master config +
+per-experiment stage configs; see reference ``alg/config.json`` and
+``alg/config_{checkers,sumo}_stage{1,2}.json``,
+``alg/config_particle_*.json``) as frozen dataclasses so that configs are
+hashable and can be closed over by ``jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+_CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+
+
+def _freeze(seq):
+    return tuple(seq) if seq is not None else None
+
+
+@dataclasses.dataclass(frozen=True)
+class CheckersEnvConfig:
+    """Checkers grid world (reference ``env/checkers.py:5-36``)."""
+
+    n_rows: int = 3
+    n_columns: int = 8
+    n_obs: int = 2
+    agents_r: Tuple[int, ...] = (0, 2)
+    agents_c: Tuple[int, ...] = (8, 8)
+    n_agents: int = 2
+    max_steps: int = 50
+
+    @property
+    def total_rows(self) -> int:
+        return self.n_rows + 2 * self.n_obs
+
+    @property
+    def total_columns(self) -> int:
+        return self.n_columns + 2 * self.n_obs + 1
+
+    @property
+    def max_collectible(self) -> int:
+        return self.n_rows * self.n_columns
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleEnvConfig:
+    """Cooperative navigation particle env
+    (reference ``multiagent/core.py`` + ``scenarios/multi-goal_spread.py``)."""
+
+    n_agents: int = 4
+    agents_x: Tuple[float, ...] = (-0.9, 0.9, -0.9, 0.9)
+    agents_y: Tuple[float, ...] = (-0.9, 0.9, 0.9, -0.9)
+    landmarks_x: Tuple[float, ...] = (0.9, -0.9, 0.9, -0.9)
+    landmarks_y: Tuple[float, ...] = (0.9, -0.9, -0.9, 0.9)
+    initial_std: float = 0.0
+    prob_random: float = 0.2
+    max_steps: int = 33
+    # physics constants (reference core.py:94-99)
+    dt: float = 0.1
+    damping: float = 0.25
+    contact_force: float = 100.0
+    contact_margin: float = 1e-3
+    agent_size: float = 0.15
+    accel: float = 5.0  # action force sensitivity (environment.py:211)
+
+
+@dataclasses.dataclass(frozen=True)
+class RoadwayEnvConfig:
+    """Kinematic sublane lane-change roadway — the TPU-native replacement for
+    the SUMO merge network (reference ``env_sumo/simple/*`` +
+    ``env/egocar_simple.py`` + ``env/multicar_simple.py``).
+
+    Geometry: one straight edge, 4 lanes x 3.2 m, 200 m long, 0.8 m sublane
+    resolution (16 absolute sublanes), 0.2 s control step — exactly the
+    observable surface of the reference's "simple" network.
+    """
+
+    n_agents: int = 2
+    goal_lane: Tuple[int, ...] = (3, 0)
+    goal_pos: Tuple[float, ...] = (190.0, 190.0)
+    speed: Tuple[float, ...] = (30.0, 30.0)
+    lane: Tuple[int, ...] = (1, 2)
+    init_position: Tuple[float, ...] = (0.0, 0.0)
+    depart_mean: Tuple[float, ...] = (0.0, 0.0)
+    depart_stdev: float = 0.5
+    total_length: float = 200.0
+    total_width: float = 12.8
+    save_threshold: float = 18.0
+    prob_random: float = 0.2
+    # dynamics (egocar_simple.py:63-92)
+    dt: float = 0.2
+    n_lanes: int = 4
+    sublanes_per_lane: int = 4
+    sublane_res: float = 0.8
+    car_length: float = 5.0
+    car_width: float = 1.8
+    acc_val: float = 2.5
+    dec_val: float = 2.5
+    v_max: float = 50.0  # vType maxSpeed (merge_stage2.rou.xml)
+    v_min: float = 10.0
+    overspeed: float = 35.7
+    ttc_thres: float = 2.0
+    # observation grid (egocar_simple.py:75, observation.py:13-44)
+    obs_front: float = 15.0
+    obs_back: float = 15.0
+    obs_left: int = 4
+    obs_right: int = 4
+    res_forward: float = 2.5
+    # max_step = round((total_length/25)/dt) (egocar_simple.py:79)
+
+    @property
+    def n_sublanes(self) -> int:
+        return self.n_lanes * self.sublanes_per_lane
+
+    @property
+    def max_step(self) -> int:
+        return round((self.total_length / 25.0) / self.dt)
+
+    @property
+    def obs_rows(self) -> int:
+        return int(round(self.obs_front / self.res_forward)) + int(
+            round(self.obs_back / self.res_forward)) + 1
+
+    @property
+    def obs_cols(self) -> int:
+        return self.obs_left + self.obs_right + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class NNConfig:
+    """Network sizes, superset of the per-experiment ``nn`` dicts."""
+
+    # generic staged nets (config.json "nn")
+    Q_units: int = 256
+    V_n_others: int = 128
+    V_n_h2: int = 64
+    Actor_n_others: int = 128
+    Actor_n_h2: int = 64
+    # checkers conv nets (config_checkers_stage*.json "nn")
+    Q_conv_f: int = 4
+    Q_conv_k: Tuple[int, int] = (3, 5)
+    Q_n_h1_1: int = 256
+    Q_n_h1_2: int = 32
+    Q_n_h2: int = 256
+    A_conv_f: int = 6
+    A_conv_k: Tuple[int, int] = (3, 3)
+    A_n_h1: int = 256
+    A_n_h2: int = 256
+    V_conv_f: int = 6
+    V_conv_k: Tuple[int, int] = (3, 3)
+    V_n_h1_1: int = 256
+    V_n_h1_2: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class AlgConfig:
+    """Algorithm hyperparameters (reference ``alg/config.json:40-67``)."""
+
+    alg_name: str = "cm3"  # cm3 | coma | iac | qmix
+    stage: int = 1
+    n_agents: int = 1
+    use_Q_credit: bool = True
+    use_V: bool = False
+    use_Q: bool = False
+    IAC: bool = False
+    alpha: float = 0.7
+    tau: float = 0.01
+    gamma: float = 0.99
+    lr_Q: float = 1e-3
+    lr_V: float = 1e-3
+    lr_actor: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Driver schedule (reference ``alg/config.json`` + trainers)."""
+
+    N_train: int = 50000
+    period: int = 100
+    N_eval: int = 10
+    epsilon_start: float = 0.5
+    epsilon_end: float = 0.05
+    epsilon_div: float = 1000.0
+    dual_buffer: bool = False
+    buffer_size: int = 20000
+    threshold: float = 16.0
+    batch_size: int = 128
+    pretrain_episodes: int = 50
+    steps_per_train: int = 10
+    episodes_per_train: int = 10
+    epochs: int = 24
+    max_steps: int = 33
+    prob_random: float = 0.2
+    seed: int = 12341
+    n_seeds: int = 1
+    # TPU-native extension: number of vectorized env instances stepped in
+    # lockstep (the reference steps exactly one).
+    n_envs: int = 1
+    save_threshold: Optional[float] = None
+    dir_name: str = "try"
+
+    @property
+    def epsilon_step(self) -> float:
+        return (self.epsilon_start - self.epsilon_end) / float(self.epsilon_div)
+
+
+def load_json(name_or_path: str) -> dict:
+    path = name_or_path
+    if not os.path.exists(path):
+        path = os.path.join(_CONFIG_DIR, name_or_path)
+    with open(path) as f:
+        return json.load(f)
+
+
+def checkers_env_config(stage: int, max_steps: int = 50) -> CheckersEnvConfig:
+    cfg = load_json(f"checkers_stage{stage}.json")
+    init = cfg["init"]
+    return CheckersEnvConfig(
+        n_rows=init["n_rows"], n_columns=init["n_columns"], n_obs=init["n_obs"],
+        agents_r=_freeze(init["agents_r"]), agents_c=_freeze(init["agents_c"]),
+        n_agents=cfg["n_agents"], max_steps=max_steps)
+
+
+def particle_env_config(name: str, prob_random: float = 0.2,
+                        max_steps: int = 33) -> ParticleEnvConfig:
+    cfg = load_json(f"particle_{name}.json")
+    return ParticleEnvConfig(
+        n_agents=cfg["n_agents"],
+        agents_x=_freeze(cfg["agents_x"]), agents_y=_freeze(cfg["agents_y"]),
+        landmarks_x=_freeze(cfg["landmarks_x"]),
+        landmarks_y=_freeze(cfg["landmarks_y"]),
+        initial_std=cfg["initial_std"], prob_random=prob_random,
+        max_steps=max_steps)
+
+
+def roadway_env_config(stage: int, prob_random: float = 0.2) -> RoadwayEnvConfig:
+    cfg = load_json(f"roadway_stage{stage}.json")
+    return RoadwayEnvConfig(
+        n_agents=cfg["n_agents"], goal_lane=_freeze(cfg["goal_lane"]),
+        goal_pos=_freeze(cfg["goal_pos"]), speed=_freeze(cfg["speed"]),
+        lane=_freeze(cfg["lane"]), init_position=_freeze(cfg["init_position"]),
+        depart_mean=_freeze(cfg["depart_mean"]),
+        depart_stdev=cfg["depart_stdev"], total_length=cfg["total_length"],
+        total_width=cfg["total_width"], save_threshold=cfg["save_threshold"],
+        prob_random=prob_random)
