@@ -1,0 +1,68 @@
+"""Shared algorithm utilities."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def soft_update(target, main, tau: float):
+    """Polyak target update: t <- tau*m + (1-tau)*t
+    (reference alg_credit.py:162-225)."""
+    return jax.tree_util.tree_map(
+        lambda t, m: tau * m + (1.0 - tau) * t, target, main)
+
+
+def one_hot(x, n):
+    return jax.nn.one_hot(x, n, dtype=jnp.float32)
+
+
+def others_concat(x):
+    """[B, N, D] -> [B, N, (N-1)*D]: row n is the concat of all m != n in
+    index order (reference process_global_state / process_goals pattern,
+    alg_credit.py:501-557).  Unrolled slices: N is tiny and static."""
+    n = x.shape[1]
+    if n == 1:
+        return jnp.zeros(x.shape[:1] + (1, 0), x.dtype)
+    cols = [jnp.concatenate([x[:, m] for m in range(n) if m != i], axis=-1)
+            for i in range(n)]
+    return jnp.stack(cols, axis=1)
+
+
+def others_stack(x):
+    """[B, N, ...] -> [B, N, N-1, ...]: per-agent view of the others' rows
+    (reference process_actions interleave, alg_credit.py:406-443)."""
+    n = x.shape[1]
+    if n == 1:
+        return jnp.zeros(x.shape[:1] + (1, 0) + x.shape[2:], x.dtype)
+    rows = [jnp.stack([x[:, m] for m in range(n) if m != i], axis=1)
+            for i in range(n)]
+    return jnp.stack(rows, axis=1)
+
+
+def epsilon_probs(probs, epsilon, n_actions):
+    """(1-eps)*pi + eps/A (reference alg_credit.py:121)."""
+    return (1.0 - epsilon) * probs + epsilon / float(n_actions)
+
+
+def sample_actions(key, probs):
+    """Categorical sample over the trailing action axis, any leading dims
+    (reference tf.multinomial(tf.log(probs)) — alg_credit.py:122)."""
+    return jax.random.categorical(key, jnp.log(probs + 1e-20), axis=-1)
+
+
+def adam(lr: float) -> optax.GradientTransformation:
+    """TF1 AdamOptimizer defaults (beta1=.9, beta2=.999, eps=1e-8)."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def flatten_bn(x):
+    """[B, N, ...] -> [B*N, ...] (explicit sizes: -1 breaks on 0-width)."""
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+
+def tree_size(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))

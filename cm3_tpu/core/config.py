@@ -200,6 +200,10 @@ class TrainConfig:
     # TPU-native extension: number of vectorized env instances stepped in
     # lockstep (the reference steps exactly one).
     n_envs: int = 1
+    # learning updates per rollout chunk; 0 = auto (= n_envs), which keeps
+    # the reference's update-to-data ratio of one update per
+    # steps_per_train SINGLE-env transitions
+    updates_per_chunk: int = 0
     save_threshold: Optional[float] = None
     dir_name: str = "try"
 

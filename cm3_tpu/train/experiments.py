@@ -1,0 +1,115 @@
+"""Per-experiment episode hooks: env construction, per-episode goal
+sampling, and batch assembly.
+
+Mirrors the reference's per-experiment branches in
+``alg/train_offpolicy.py:89-127`` (env construction) and ``:243-300``
+(per-episode goal/env setup), as pure functions usable inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from cm3_tpu.core import config as cfgmod
+from cm3_tpu.envs import base
+
+
+class Hooks:
+    """Experiment adapter consumed by the drivers."""
+
+    experiment: str
+    env: base.Env
+    n_agents: int
+    l_goal: int
+    has_a_prev: bool = False
+
+    def episode_init(self, key):
+        """-> (env_state, timestep, goals [N, l_goal])"""
+        raise NotImplementedError
+
+    def is_bad_episode(self, ep_return_local, collided):
+        """Dual-buffer routing (train_offpolicy.py:370-374)."""
+        return jnp.bool_(False)
+
+
+class CheckersHooks(Hooks):
+    """Goals: random green/orange for n=1, identity for n>1
+    (train_offpolicy.py:291-298)."""
+
+    experiment = "checkers"
+    has_a_prev = True
+
+    def __init__(self, env):
+        self.env = env
+        self.n_agents = env.cfg.n_agents
+        self.l_goal = 2
+
+    def episode_init(self, key):
+        k_goal, k_env = jax.random.split(key)
+        n = self.n_agents
+        if n == 1:
+            idx = jax.random.randint(k_goal, (), 0, 2)
+            goals = jax.nn.one_hot(idx, 2, dtype=jnp.float32)[None]
+        else:
+            goals = jnp.eye(n, 2, dtype=jnp.float32)
+        state, ts = self.env.reset(k_env, goals)
+        return state, ts, goals
+
+
+class ParticleHooks(Hooks):
+    """Goals are the landmark positions chosen by reset
+    (train_offpolicy.py:286-290)."""
+
+    experiment = "particle"
+
+    def __init__(self, env):
+        self.env = env
+        self.n_agents = env.cfg.n_agents
+        self.l_goal = 2
+
+    def episode_init(self, key):
+        state, ts = self.env.reset(key, None)
+        return state, ts, state.landmarks
+
+    def is_bad_episode(self, ep_return_local, collided):
+        return collided
+
+
+class RoadwayHooks(Hooks):
+    """Goal lane one-hot; with prob_random the initial lane and goal lane
+    are uniform random (train_offpolicy.py:252-277)."""
+
+    experiment = "roadway"
+
+    def __init__(self, env):
+        self.env = env
+        self.n_agents = env.cfg.n_agents
+        self.l_goal = 4
+
+    def episode_init(self, key):
+        k_rand, k_lane, k_goal, k_env = jax.random.split(key, 4)
+        c = self.env.cfg
+        n = self.n_agents
+        use_random = jax.random.uniform(k_rand) < c.prob_random
+        lanes_rand = jax.random.randint(k_lane, (n,), 0, c.n_lanes)
+        goal_rand = jax.random.randint(k_goal, (n,), 0, self.l_goal)
+        lanes = jnp.where(use_random, lanes_rand,
+                          jnp.asarray(c.lane, jnp.int32))
+        goal_lanes = jnp.where(use_random, goal_rand,
+                               jnp.asarray(c.goal_lane, jnp.int32))
+        goals = jax.nn.one_hot(goal_lanes, self.l_goal, dtype=jnp.float32)
+        state, ts = self.env.reset(k_env, dict(lanes=lanes,
+                                               goal_lanes=goal_lanes))
+        return state, ts, goals
+
+    def is_bad_episode(self, ep_return_local, collided):
+        # sum(r_local) < threshold (train_offpolicy.py:372)
+        return jnp.sum(ep_return_local) < 16.0
+
+
+def make_hooks(experiment: str, env) -> Hooks:
+    return {"checkers": CheckersHooks, "particle": ParticleHooks,
+            "roadway": RoadwayHooks}[experiment](env)

@@ -1,0 +1,271 @@
+"""Off-policy trainer.
+
+TPU-native re-design of the reference ``alg/train_offpolicy.py``: instead
+of stepping ONE Python env and paying a feed_dict round-trip per action,
+the driver steps ``n_envs`` vectorized instances in lockstep inside a
+jitted "chunk" that fuses ``steps_per_train`` env steps, the replay
+insertions, the auto-resets, and one full learning update.  The host loop
+only handles schedule bookkeeping (epsilon decay per completed episode,
+periodic eval, CSV logging) — one scalar sync per chunk.
+
+Schedule semantics preserved from the reference:
+  * random actions while episode_count < pretrain_episodes (:311-313)
+  * one update every steps_per_train env steps (:346-356)
+  * epsilon decays per completed episode after pretraining (:376-377)
+  * greedy eval of N_eval episodes every `period` episodes (:385-398)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from cm3_tpu.core import prng
+from cm3_tpu.core.config import TrainConfig
+from cm3_tpu.replay import buffer as replay
+from cm3_tpu.train.experiments import Hooks
+
+
+@struct.dataclass
+class RolloutState:
+    env_state: Any
+    obs: Any
+    state: Any
+    goals: jax.Array          # [E, N, G]
+    a_prev: jax.Array         # [E, N]
+    ep_ret_local: jax.Array   # [E, N]
+    ep_ret_global: jax.Array  # [E]
+    collided: jax.Array       # [E] bool (dual-buffer routing)
+    # running century accumulators (reset by host each period)
+    acc_ret_local: jax.Array  # [N]
+    acc_ret_global: jax.Array
+    episodes: jax.Array       # i32 completed episodes
+
+
+def init_rollout(hooks: Hooks, key, n_envs: int) -> RolloutState:
+    keys = prng.split_batch(key, n_envs)
+    env_state, ts, goals = jax.vmap(hooks.episode_init)(keys)
+    n = hooks.n_agents
+    return RolloutState(
+        env_state=env_state, obs=ts.obs, state=ts.state, goals=goals,
+        a_prev=jnp.zeros((n_envs, n), jnp.int32),
+        ep_ret_local=jnp.zeros((n_envs, n)),
+        ep_ret_global=jnp.zeros(n_envs),
+        collided=jnp.zeros(n_envs, bool),
+        acc_ret_local=jnp.zeros(n), acc_ret_global=jnp.float32(0.0),
+        episodes=jnp.int32(0))
+
+
+class OffPolicyDriver:
+
+    def __init__(self, hooks: Hooks, alg, cfg: TrainConfig,
+                 eval_hooks: Optional[Hooks] = None):
+        self.hooks = hooks
+        self.alg = alg
+        self.cfg = cfg
+        self.eval_hooks = eval_hooks or hooks
+        self.n_envs = cfg.n_envs
+        # donate the replay store (multi-MB) so it updates in place;
+        # params/rollout leaves may alias shared zero buffers -> not donatable
+        self._chunk_train = jax.jit(lambda ts, buf, rs, eps, key:
+                                    self._chunk(ts, buf, rs, eps, key, True),
+                                    donate_argnums=(1,))
+        self._chunk_fill = jax.jit(lambda ts, buf, rs, eps, key:
+                                   self._chunk(ts, buf, rs, eps, key, False),
+                                   donate_argnums=(1,))
+        self._eval = jax.jit(self.evaluate, static_argnums=(2,))
+
+    # -------------------------------------------------------------- #
+
+    def _transition(self, rs: RolloutState, actions, ts_next, state_next_obs):
+        tr = {
+            "obs": rs.obs, "state": rs.state,
+            "a": actions, "a_prev": rs.a_prev,
+            "r": ts_next.reward, "rl": ts_next.reward_local,
+            "obs_next": ts_next.obs, "state_next": ts_next.state,
+            "done": ts_next.done, "goals": rs.goals,
+        }
+        if not self.hooks.has_a_prev:
+            tr.pop("a_prev")
+        return tr
+
+    def _step_once(self, ts_alg, rs: RolloutState, buf, epsilon, key,
+                   random_actions: bool):
+        """One lockstep env transition for all instances + buffer add +
+        auto-reset."""
+        hooks, env = self.hooks, self.hooks.env
+        e = self.n_envs
+        n = hooks.n_agents
+        k_act, k_rand, k_reset = jax.random.split(key, 3)
+
+        if random_actions:
+            actions = jax.random.randint(k_rand, (e, n), 0,
+                                         self.alg.n_actions)
+        else:
+            actions = self.alg.act(ts_alg, rs.obs, rs.goals, rs.a_prev,
+                                   epsilon, k_act)
+        env_state2, ts2 = jax.vmap(env.step)(rs.env_state, actions)
+
+        tr = self._transition(rs, actions, ts2, None)
+        buf = replay.add_batch(buf, tr)
+
+        done = ts2.done
+        ep_ret_local = rs.ep_ret_local + ts2.reward_local
+        ep_ret_global = rs.ep_ret_global + ts2.reward
+
+        # auto-reset finished instances with fresh goals
+        keys = prng.split_batch(k_reset, e)
+        new_state, new_ts, new_goals = jax.vmap(hooks.episode_init)(keys)
+
+        sel = lambda a, b: jax.vmap(jnp.where)(done, a, b)
+        env_state3 = jax.tree_util.tree_map(sel, new_state, env_state2)
+        obs3 = jax.tree_util.tree_map(sel, new_ts.obs, ts2.obs)
+        state3 = jax.tree_util.tree_map(sel, new_ts.state, ts2.state)
+        goals3 = sel(new_goals, rs.goals)
+        a_prev3 = jnp.where(done[:, None], 0, actions)
+
+        d = done.astype(jnp.float32)
+        rs2 = rs.replace(
+            env_state=env_state3, obs=obs3, state=state3, goals=goals3,
+            a_prev=a_prev3,
+            ep_ret_local=ep_ret_local * (1.0 - d[:, None]),
+            ep_ret_global=ep_ret_global * (1.0 - d),
+            collided=jnp.zeros_like(rs.collided),
+            acc_ret_local=rs.acc_ret_local
+            + jnp.sum(ep_ret_local * d[:, None], axis=0),
+            acc_ret_global=rs.acc_ret_global + jnp.sum(ep_ret_global * d),
+            episodes=rs.episodes + jnp.sum(done.astype(jnp.int32)))
+        return rs2, buf
+
+    def _chunk(self, ts_alg, buf, rs, epsilon, key, do_train: bool):
+        """steps_per_train lockstep env steps, then one learning update."""
+        spt = self.cfg.steps_per_train
+
+        def body(carry, k):
+            rs, buf = carry
+            rs, buf = self._step_once(ts_alg, rs, buf, epsilon, k,
+                                      random_actions=not do_train)
+            return (rs, buf), ()
+
+        (rs, buf), _ = jax.lax.scan(body, (rs, buf),
+                                    jax.random.split(key, spt))
+        metrics = {}
+        if do_train:
+            n_upd = self.cfg.updates_per_chunk or self.n_envs
+
+            def upd_body(ts_alg, k):
+                k_sample, k_update = jax.random.split(k)
+                batch = replay.sample(buf, k_sample, self.cfg.batch_size)
+                return self.alg.update(ts_alg, batch, epsilon, k_update)
+
+            ts_alg, metrics = jax.lax.scan(
+                upd_body, ts_alg,
+                jax.random.split(jax.random.fold_in(key, 7), n_upd))
+            metrics = {k: v[-1] for k, v in metrics.items()}
+        return ts_alg, buf, rs, metrics
+
+    # -------------------------------------------------------------- #
+
+    def evaluate(self, ts_alg, key, n_eval: int):
+        """Greedy (eps=0) policy rollouts (alg/evaluate.py): returns
+        (mean per-agent return [N], mean global return)."""
+        hooks = self.eval_hooks
+        env = hooks.env
+        n = hooks.n_agents
+        keys = prng.split_batch(key, n_eval)
+        env_state, ts, goals = jax.vmap(hooks.episode_init)(keys)
+
+        max_steps = self.cfg.max_steps
+
+        def body(carry, k):
+            env_state, obs, a_prev, alive, ret_l, ret_g = carry
+            actions = self.alg.act(ts_alg, obs, goals, a_prev, 0.0, k)
+            env_state2, ts2 = jax.vmap(env.step)(env_state, actions)
+            m = alive.astype(jnp.float32)
+            ret_l = ret_l + ts2.reward_local * m[:, None]
+            ret_g = ret_g + ts2.reward * m
+            alive2 = alive & ~ts2.done
+            obs2 = ts2.obs
+            return (env_state2, obs2, actions, alive2, ret_l, ret_g), ()
+
+        init = (env_state, ts.obs, jnp.zeros((n_eval, n), jnp.int32),
+                jnp.ones(n_eval, bool), jnp.zeros((n_eval, n)),
+                jnp.zeros(n_eval))
+        (_, _, _, _, ret_l, ret_g), _ = jax.lax.scan(
+            body, init, jax.random.split(key, max_steps))
+        return jnp.mean(ret_l, axis=0), jnp.mean(ret_g)
+
+    # -------------------------------------------------------------- #
+
+    def run(self, ts_alg, key, n_episodes: Optional[int] = None,
+            log_fn: Optional[Callable[[Dict[str, Any]], None]] = None,
+            example_transition=None):
+        """Host training loop until `n_episodes` completed episodes.
+        Returns (ts_alg, final stats dict)."""
+        cfg = self.cfg
+        n_episodes = n_episodes or cfg.N_train
+        k_init, k_loop, k_eval = jax.random.split(key, 3)
+        rs = init_rollout(self.hooks, k_init, self.n_envs)
+
+        if example_transition is None:
+            # build one transition template from the live rollout state
+            e = self.n_envs
+            n = self.hooks.n_agents
+            dummy_ts = jax.vmap(self.hooks.env.step)(
+                rs.env_state, jnp.zeros((e, n), jnp.int32))[1]
+            tr = self._transition(rs, jnp.zeros((e, n), jnp.int32), dummy_ts,
+                                  None)
+            example_transition = jax.tree_util.tree_map(lambda x: x[0], tr)
+        buf = replay.init(example_transition, cfg.buffer_size)
+
+        epsilon = cfg.epsilon_start
+        episodes_done = 0
+        last_logged_period = 0
+        chunk_idx = 0
+        history = []
+        t0 = time.time()
+        while episodes_done < n_episodes:
+            k = jax.random.fold_in(k_loop, chunk_idx)
+            pretrain = episodes_done < cfg.pretrain_episodes
+            fn = self._chunk_fill if pretrain else self._chunk_train
+            ts_alg, buf, rs, metrics = fn(ts_alg, buf, rs, epsilon, k)
+            chunk_idx += 1
+            episodes_done = int(rs.episodes)  # one host sync per chunk
+            if not pretrain:
+                eps_decayed = (episodes_done - cfg.pretrain_episodes)
+                epsilon = max(cfg.epsilon_end,
+                              cfg.epsilon_start
+                              - eps_decayed * cfg.epsilon_step)
+
+            period_idx = episodes_done // cfg.period
+            if period_idx > last_logged_period:
+                last_logged_period = period_idx
+                r_eval_local, r_eval_global = self._eval(
+                    ts_alg, jax.random.fold_in(k_eval, period_idx),
+                    cfg.N_eval)
+                row = {
+                    "episode": episodes_done,
+                    "epsilon": epsilon,
+                    "r_eval_local": np.asarray(r_eval_local),
+                    "r_eval_global": float(r_eval_global),
+                    "r_train_local": np.asarray(rs.acc_ret_local)
+                    / max(cfg.period, 1),
+                    "r_train_global": float(rs.acc_ret_global)
+                    / max(cfg.period, 1),
+                    "duration_s": time.time() - t0,
+                }
+                row.update({k: float(v) for k, v in metrics.items()})
+                history.append(row)
+                if log_fn is not None:
+                    log_fn(row)
+                rs = rs.replace(acc_ret_local=jnp.zeros_like(rs.acc_ret_local),
+                                acc_ret_global=jnp.float32(0.0))
+                t0 = time.time()
+
+        return ts_alg, dict(episodes=episodes_done, history=history,
+                            buffer=buf, rollout=rs, epsilon=epsilon)
