@@ -41,12 +41,23 @@ def load_checkers():
     return load_module("env/checkers.py", "ref_checkers")
 
 
+def ensure_multiagent_package():
+    """Make ``multiagent.*`` submodules importable WITHOUT executing the
+    package __init__ (which imports gym, unavailable here)."""
+    import sys
+    import types
+    _shim_legacy_numpy()
+    if "multiagent" in sys.modules:
+        return
+    pkg_dir = os.path.join(REFERENCE_ROOT, "env", "multiagent-particle-envs",
+                           "multiagent")
+    pkg = types.ModuleType("multiagent")
+    pkg.__path__ = [pkg_dir]
+    sys.modules["multiagent"] = pkg
+
+
 def load_particle_core():
     """multiagent.core is numpy-only; importable directly."""
-    import sys
-    pkg_root = os.path.join(REFERENCE_ROOT, "env", "multiagent-particle-envs")
-    if pkg_root not in sys.path:
-        sys.path.insert(0, pkg_root)
-    _shim_legacy_numpy()
+    ensure_multiagent_package()
     import multiagent.core as core  # noqa
     return core
