@@ -109,6 +109,10 @@ class OffPolicyDriver:
         else:
             actions = self.alg.act(ts_alg, rs.obs, rs.goals, rs.a_prev,
                                    epsilon, k_act)
+        if hasattr(env, "check_actions"):
+            # feasibility filter before stepping; the REPLACED actions are
+            # what gets stored (train_offpolicy.py:322-325)
+            actions = jax.vmap(env.check_actions)(rs.env_state, actions)
         env_state2, ts2 = jax.vmap(env.step)(rs.env_state, actions)
 
         tr = self._transition(rs, actions, ts2, None)
@@ -185,6 +189,8 @@ class OffPolicyDriver:
         def body(carry, k):
             env_state, obs, a_prev, alive, ret_l, ret_g = carry
             actions = self.alg.act(ts_alg, obs, goals, a_prev, 0.0, k)
+            if hasattr(env, "check_actions"):
+                actions = jax.vmap(env.check_actions)(env_state, actions)
             env_state2, ts2 = jax.vmap(env.step)(env_state, actions)
             m = alive.astype(jnp.float32)
             ret_l = ret_l + ts2.reward_local * m[:, None]
