@@ -436,6 +436,27 @@ class VCheckersLocal(nn.Module):
         return _dense(1, name="out")(h2)
 
 
+class VCheckersGlobal(nn.Module):
+    """networks.V_checkers_global:438-458."""
+
+    conv_f: int = 2
+    conv_k: Tuple[int, int] = (3, 5)
+    n_h1_1: int = 128
+    n_h1_2: int = 32
+    n_h2: int = 32
+    stage: int = 1
+
+    @nn.compact
+    def __call__(self, s_grid, s_n, g_n, s_others):
+        conv = _flat_conv(self.conv_f, self.conv_k, "conv", s_grid)
+        x = jnp.concatenate([conv, s_n, g_n], axis=-1)
+        h2 = Branch(self.n_h1_1, self.n_h2, name="branch1")(x)
+        if self.stage > 1:
+            h2 = h2 + Branch(self.n_h1_2, self.n_h2, name="stage2")(s_others)
+        h2 = nn.relu(h2)
+        return _dense(1, name="out")(h2)
+
+
 class VCheckersAblation(nn.Module):
     """networks.V_checkers_ablation:461-470."""
 
