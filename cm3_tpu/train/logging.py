@@ -1,0 +1,57 @@
+"""CSV + stdout logging.
+
+Mirrors the reference's two CSV streams (``train_offpolicy.py:208-229,
+385-426``): per-episode ``log.csv`` (episode, global and per-agent
+returns) and per-period ``log_century.csv`` (averaged training returns,
+greedy eval returns, duration).  Vectorized training logs per-period only
+(per-episode rows at 1e6+ episodes/s would be pure overhead); the
+per-period row carries everything the reference's does.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class CSVLogger:
+
+    def __init__(self, log_dir: str, n_agents: int, extra_cols=()):
+        self.dir = log_dir
+        self.n_agents = n_agents
+        os.makedirs(log_dir, exist_ok=True)
+        self.century_path = os.path.join(log_dir, "log_century.csv")
+        header = "Century,r_global_avg"
+        for idx in range(n_agents):
+            header += f",r_avg_{idx}"
+        header += ",r_global_eval"
+        for idx in range(n_agents):
+            header += f",r_eval_{idx}"
+        header += ",r_eval_local,epsilon"
+        for c in extra_cols:
+            header += f",{c}"
+        header += ",duration (s)\n"
+        with open(self.century_path, "w") as f:
+            f.write(header)
+        self.extra_cols = tuple(extra_cols)
+
+    def log_period(self, row: Dict):
+        s = "%d,%.2f," % (row["episode"], row["r_train_global"])
+        s += ",".join("{:.2f}".format(v) for v in row["r_train_local"])
+        s += ",%.2f," % row["r_eval_global"]
+        s += ",".join("{:.2f}".format(v) for v in row["r_eval_local"])
+        s += ",%.2f,%.3f" % (float(np.sum(row["r_eval_local"])),
+                             row["epsilon"])
+        for c in self.extra_cols:
+            s += ",%.5f" % row.get(c, float("nan"))
+        s += ",%d\n" % int(row["duration_s"])
+        with open(self.century_path, "a") as f:
+            f.write(s)
+
+
+def stdout_log(row: Dict):
+    print("ep %6d  eps %.3f  train %7.2f  eval %7.2f  (%ds)" % (
+        row["episode"], row["epsilon"], row["r_train_global"],
+        row["r_eval_global"], int(row["duration_s"])), flush=True)

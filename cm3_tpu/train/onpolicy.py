@@ -117,7 +117,7 @@ class OnPolicyDriver(OffPolicyDriver):
                 }
                 history.append(row)
                 if log_fn is not None:
-                    log_fn(row)
+                    log_fn(dict(row, _ts=ts_alg))
                 rs = rs.replace(
                     acc_ret_local=jnp.zeros_like(rs.acc_ret_local),
                     acc_ret_global=jnp.float32(0.0))

@@ -1,0 +1,254 @@
+"""Config-driven training entry point.
+
+The equivalent of the reference's ``alg/train_offpolicy.py`` /
+``train_onpolicy.py`` mains + ``train_multiprocess.py`` launcher: reads
+the master JSON config (same keys as ``alg/config.json``), builds env +
+algorithm + driver, applies the curriculum restore logic
+(``train_from_nothing`` / ``restore_same_stage`` / stage-2 graft from
+``dir_restore``), trains with periodic eval + CSV logging + threshold
+snapshots, and saves ``model_final``.
+
+Trainer selection follows the reference convention
+(``train_multiprocess.py:22-29``): on-policy for particle CM3/COMA/IAC,
+off-policy for checkers/roadway and for QMIX everywhere.
+
+Usage:
+    python -m cm3_tpu.train.runner --config cm3_tpu/configs/master.json \
+        [--experiment checkers --stage 1 --episodes 5000 --n-envs 32]
+
+Multi-seed: ``train_multiseed`` runs ``n_seeds`` replicas with
+deterministically folded keys (the reference forks one OS process per
+seed, ``train_multiprocess.py:31-43``; here seeds share the process —
+each run is a fresh jitted program, and large-scale replication is done
+by vectorizing envs or by independent jobs per slice).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cm3_tpu.algs.baseline import Baseline
+from cm3_tpu.algs.cm3 import CM3
+from cm3_tpu.algs.qmix import QMIX
+from cm3_tpu.core import config as cfgmod
+from cm3_tpu.core import prng
+from cm3_tpu.envs.checkers import Checkers
+from cm3_tpu.envs.particle import Particle
+from cm3_tpu.envs.roadway import Roadway
+from cm3_tpu.train import checkpoint
+from cm3_tpu.train.experiments import make_hooks
+from cm3_tpu.train.logging import CSVLogger, stdout_log
+from cm3_tpu.train.offpolicy import OffPolicyDriver, init_rollout
+from cm3_tpu.train.onpolicy import OnPolicyDriver
+
+
+def _nn_config(master: Dict, experiment: str, stage: int) -> cfgmod.NNConfig:
+    nn = dict(master.get("nn", {}))
+    if experiment == "checkers":
+        sub = cfgmod.load_json(f"checkers_stage{stage}.json")["nn"]
+        nn.update(sub)
+    known = {f.name for f in dataclasses.fields(cfgmod.NNConfig)}
+    return cfgmod.NNConfig(**{k: (tuple(v) if isinstance(v, list) else v)
+                              for k, v in nn.items() if k in known})
+
+
+def build_env(master: Dict, experiment: str, stage: int):
+    max_steps = master.get("max_steps", 33)
+    prob_random = master.get("prob_random", 0.2)
+    if experiment == "checkers":
+        return Checkers(cfgmod.checkers_env_config(stage, max_steps=50))
+    if experiment == "particle":
+        name = master.get("particle_config", f"stage{stage}")
+        name = name.replace("config_particle_", "").replace(".json", "")
+        return Particle(cfgmod.particle_env_config(
+            name, prob_random=prob_random, max_steps=max_steps))
+    if experiment == "roadway":
+        return Roadway(cfgmod.roadway_env_config(stage,
+                                                 prob_random=prob_random))
+    raise ValueError(experiment)
+
+
+def select_alg_name(master: Dict) -> str:
+    if master.get("alg_name"):
+        return master["alg_name"]
+    if master.get("use_alg_credit", 1):
+        return "cm3"
+    if master.get("use_qmix", 0):
+        return "qmix"
+    if master.get("IAC", 0):
+        return "iac"
+    return "coma"
+
+
+def build(master: Dict, experiment: Optional[str] = None,
+          stage: Optional[int] = None):
+    """-> (driver, alg, hooks, train_cfg)."""
+    experiment = experiment or master.get("experiment", "checkers")
+    stage = stage or master.get("stage", 1)
+    env = build_env(master, experiment, stage)
+    n_agents = env.spec()["n_agents"]
+
+    alg_name = select_alg_name(master)
+    alg_cfg = cfgmod.AlgConfig(
+        alg_name=alg_name, stage=stage, n_agents=n_agents,
+        use_Q_credit=bool(master.get("use_Q_credit", 1)),
+        use_V=bool(master.get("use_V", 0)),
+        use_Q=bool(master.get("use_Q", alg_name == "coma")),
+        IAC=alg_name == "iac" or bool(master.get("IAC", 0)),
+        alpha=master.get("alpha", 0.7),
+        lr_Q=master.get("lr_Q", 1e-3), lr_V=master.get("lr_V", 1e-3),
+        lr_actor=master.get("lr_actor", 1e-4))
+    nn_cfg = _nn_config(master, experiment, stage)
+
+    if alg_name == "cm3":
+        alg = CM3(experiment, env.spec(), alg_cfg, nn_cfg)
+    elif alg_name == "qmix":
+        alg = QMIX(experiment, env.spec(), alg_cfg, nn_cfg)
+    else:  # coma / iac / central-V baselines
+        if alg_name == "iac":
+            alg_cfg = dataclasses.replace(alg_cfg, use_V=True, IAC=True,
+                                          use_Q=False)
+        elif alg_name == "coma" and not alg_cfg.use_V:
+            alg_cfg = dataclasses.replace(alg_cfg, use_Q=True)
+        alg = Baseline(experiment, env.spec(), alg_cfg, nn_cfg)
+
+    known = {f.name for f in dataclasses.fields(cfgmod.TrainConfig)}
+    tc_kwargs = {k: v for k, v in master.items() if k in known}
+    tc_kwargs["buffer_size"] = int(master.get("buffer_size", 2e4))
+    train_cfg = cfgmod.TrainConfig(**tc_kwargs)
+
+    hooks = make_hooks(experiment, env)
+    onpolicy = (experiment == "particle" and alg_name in
+                ("cm3", "coma", "iac"))
+    driver_cls = OnPolicyDriver if onpolicy else OffPolicyDriver
+    driver = driver_cls(hooks, alg, train_cfg)
+    return driver, alg, hooks, train_cfg
+
+
+def train_function(master: Dict, workdir: str = ".",
+                   n_episodes: Optional[int] = None,
+                   verbose: bool = True) -> Tuple[Any, Dict]:
+    """The reference's train_function(config), TPU-native."""
+    experiment = master.get("experiment", "checkers")
+    stage = master.get("stage", 1)
+    seed = master.get("seed", 12341)
+    dir_name = master.get("dir_name", "try")
+
+    driver, alg, hooks, train_cfg = build(master)
+    key = prng.root_key(seed)
+    rs = init_rollout(hooks, prng.for_purpose(key, prng.RESET),
+                      train_cfg.n_envs)
+    ts = alg.init_state(prng.for_purpose(key, prng.PARAMS), rs.obs, rs.state,
+                        rs.goals)
+
+    # ---- curriculum restore (train_offpolicy.py:154-198) ----
+    train_from_nothing = master.get("train_from_nothing", 1)
+    restore_same_stage = master.get("restore_same_stage", 0)
+    if not train_from_nothing:
+        restore_dir = os.path.join(workdir, "saved",
+                                   master.get("dir_restore", dir_name),
+                                   master.get("model_name", "model_final"))
+        if restore_same_stage:
+            ts = checkpoint.restore(restore_dir, ts)
+        elif stage == 2:
+            # rebuild the stage-1 TrainState structure to restore into,
+            # then graft the shared-architecture weights
+            m1 = dict(master)
+            m1["stage"] = 1
+            d1, alg1, hooks1, tc1 = build(m1)
+            rs1 = init_rollout(hooks1, prng.for_purpose(key, prng.RESET),
+                               tc1.n_envs)
+            ts1 = alg1.init_state(prng.for_purpose(key, prng.PARAMS),
+                                  rs1.obs, rs1.state, rs1.goals)
+            ts1 = checkpoint.restore(restore_dir, ts1)
+            if isinstance(alg, CM3):
+                ts = checkpoint.stage2_init_cm3(ts, ts1.actor, ts1.qg)
+            elif isinstance(alg, Baseline):
+                ts = checkpoint.stage2_init_baseline(
+                    ts, ts1.actor, getattr(ts1, "v", None))
+
+    log_dir = os.path.join(workdir, "log", dir_name)
+    save_dir = os.path.join(workdir, "saved", dir_name)
+    os.makedirs(save_dir, exist_ok=True)
+    logger = CSVLogger(log_dir, hooks.n_agents)
+
+    save_threshold = master.get("save_threshold")
+    if save_threshold is None and experiment == "roadway":
+        save_threshold = cfgmod.load_json(
+            f"roadway_stage{stage}.json")["save_threshold"]
+
+    def log_fn(row):
+        logger.log_period(row)
+        if verbose:
+            stdout_log(row)
+        # threshold-gated snapshots (train_offpolicy.py:391-398)
+        r_eval = row["r_eval_local"]
+        good = False
+        if save_threshold is not None:
+            good = bool((r_eval > save_threshold).all())
+        elif experiment == "checkers" and stage == 1:
+            good = float(r_eval.sum()) > 9.0
+        if good:
+            checkpoint.save(
+                os.path.join(save_dir, f"model_good_{row['episode']}"),
+                row["_ts"])
+
+    ts, stats = driver.run(ts, prng.for_purpose(key, prng.ROLLOUT),
+                           n_episodes=n_episodes, log_fn=log_fn)
+    checkpoint.save(os.path.join(save_dir, "model_final"), ts)
+    return ts, stats
+
+
+def train_multiseed(master: Dict, workdir: str = ".",
+                    n_episodes: Optional[int] = None):
+    """n_seeds replicas, seed_base + i, dir_name_<i>
+    (train_multiprocess.py:31-43)."""
+    results = []
+    base_seed = master.get("seed", 12341)
+    base_dir = master.get("dir_name", "try")
+    start = master.get("dir_idx_start", 1)
+    for i in range(master.get("n_seeds", 1)):
+        cfg = dict(master)
+        cfg["seed"] = base_seed + i
+        cfg["dir_name"] = f"{base_dir}_{start + i}"
+        results.append(train_function(cfg, workdir, n_episodes))
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="cm3_tpu/configs/master.json")
+    p.add_argument("--experiment", default=None)
+    p.add_argument("--stage", type=int, default=None)
+    p.add_argument("--episodes", type=int, default=None)
+    p.add_argument("--n-envs", type=int, default=None)
+    p.add_argument("--alg", default=None)
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--multiseed", action="store_true")
+    args = p.parse_args()
+
+    master = cfgmod.load_json(args.config)
+    if args.experiment:
+        master["experiment"] = args.experiment
+    if args.stage:
+        master["stage"] = args.stage
+    if args.n_envs:
+        master["n_envs"] = args.n_envs
+    if args.alg:
+        master["alg_name"] = args.alg
+
+    if args.multiseed:
+        train_multiseed(master, args.workdir, args.episodes)
+    else:
+        train_function(master, args.workdir, args.episodes)
+
+
+if __name__ == "__main__":
+    main()
