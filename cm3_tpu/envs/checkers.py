@@ -130,38 +130,50 @@ class Checkers(base.Env):
     def step(self, state: CheckersState, actions):
         c = self.cfg
         actions = jnp.asarray(actions, jnp.int32)
+        rows = jnp.arange(c.total_rows)[:, None]
+        cols = jnp.arange(c.total_columns)[None, :]
 
+        # Sequential per-agent resolution, expressed entirely as masked
+        # elementwise grid ops (no scatters/gathers — those lower to slow
+        # TPU kernels; masks ride the VPU and fuse).  Semantics identical
+        # to the scatter formulation (checkers.py:157-225).
         def agent_move(carry, idx):
-            world, loc, collected = carry
+            ch_g, ch_o, ch_i, loc, collected = carry
             a = actions[idx]
             r, cc = loc[idx, 0], loc[idx, 1]
             dr, dc = _offsets(a)
             tr, tc = r + dr, cc + dc
-            can_move = (a != 0) & (world[tr, tc, 2] == 0.0)
+            at_cur = (rows == r) & (cols == cc)
+            at_tgt = (rows == tr) & (cols == tc)
+            tgt_invalid = jnp.sum(jnp.where(at_tgt, ch_i, 0.0))
+            can_move = (a != 0) & (tgt_invalid == 0.0)
             penalty = jnp.where((a != 0) & ~can_move, -0.1, 0.0)
-            moved_world = world.at[tr, tc, 2].set(-1.0).at[r, cc, 2].set(0.0)
-            world = jnp.where(can_move, moved_world, world)
+            ch_i = jnp.where(can_move & at_tgt, -1.0,
+                             jnp.where(can_move & at_cur, 0.0, ch_i))
             nr = jnp.where(can_move, tr, r)
             nc = jnp.where(can_move, tc, cc)
+            at_new = jnp.where(can_move, at_tgt, at_cur)
             loc = loc.at[idx].set(jnp.stack([nr, nc]))
             # collect reward at new cell (get_reward:190-225)
             g_green = state.goals[idx, 0] == 1.0
-            has_green = world[nr, nc, 0] == -1.0
-            has_orange = (~has_green) & (world[nr, nc, 1] == -1.0)
+            has_green = jnp.sum(jnp.where(at_new, ch_g, 0.0)) == -1.0
+            has_orange = (~has_green) & (
+                jnp.sum(jnp.where(at_new, ch_o, 0.0)) == -1.0)
             rew = jnp.where(
                 has_green, jnp.where(g_green, 1.0, -0.5),
                 jnp.where(has_orange, jnp.where(g_green, -0.5, 1.0), 0.0))
-            world = world.at[nr, nc, 0].set(
-                jnp.where(has_green, 1.0, world[nr, nc, 0]))
-            world = world.at[nr, nc, 1].set(
-                jnp.where(has_orange, 1.0, world[nr, nc, 1]))
+            ch_g = jnp.where(at_new & has_green, 1.0, ch_g)
+            ch_o = jnp.where(at_new & has_orange, 1.0, ch_o)
             collected = collected.at[idx, 0].add(has_green.astype(jnp.float32))
             collected = collected.at[idx, 1].add(has_orange.astype(jnp.float32))
-            return (world, loc, collected), penalty + rew
+            return (ch_g, ch_o, ch_i, loc, collected), penalty + rew
 
-        (world, loc, collected), local_rewards = jax.lax.scan(
-            agent_move, (state.world, state.loc, state.collected),
+        (ch_g, ch_o, ch_i, loc, collected), local_rewards = jax.lax.scan(
+            agent_move,
+            (state.world[:, :, 0], state.world[:, :, 1], state.world[:, :, 2],
+             state.loc, state.collected),
             jnp.arange(c.n_agents))
+        world = jnp.stack([ch_g, ch_o, ch_i], axis=-1)
 
         steps = state.steps + 1
         half = c.max_collectible / 2.0
