@@ -80,6 +80,18 @@ def sample(state: ReplayState, key, batch_size: int):
     return jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
 
 
+def sample_subsequence(state: ReplayState, key, length: int):
+    """Contiguous window of ``length`` transitions starting at a uniform
+    position (the reference's unused episode-subsequence sampler,
+    replay_buffer.py:18-26, adapted to the flat ring layout: windows may
+    span episode boundaries — mask on the stored ``done`` flags when
+    consuming)."""
+    start = jax.random.randint(key, (), 0,
+                               jnp.maximum(state.size - length + 1, 1))
+    idx = (start + jnp.arange(length)) % capacity_of(state)
+    return jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
+
+
 # --------------------------------------------------------------------- #
 # dual (bad/good episode) buffer
 # --------------------------------------------------------------------- #

@@ -72,12 +72,19 @@ class OffPolicyDriver:
         self.n_envs = cfg.n_envs
         # donate the replay store (multi-MB) so it updates in place;
         # params/rollout leaves may alias shared zero buffers -> not donatable
-        self._chunk_train = jax.jit(lambda ts, buf, rs, eps, key:
-                                    self._chunk(ts, buf, rs, eps, key, True),
-                                    donate_argnums=(1,))
-        self._chunk_fill = jax.jit(lambda ts, buf, rs, eps, key:
-                                   self._chunk(ts, buf, rs, eps, key, False),
-                                   donate_argnums=(1,))
+        self._chunk_train = jax.jit(
+            lambda ts, buf, rs, eps, key:
+            self._chunk(ts, buf, rs, eps, key, True, False),
+            donate_argnums=(1,))
+        self._chunk_fill = jax.jit(
+            lambda ts, buf, rs, eps, key:
+            self._chunk(ts, buf, rs, eps, key, False, True),
+            donate_argnums=(1,))
+        # policy rollouts without training: replay warm-up after a resume
+        self._chunk_warm = jax.jit(
+            lambda ts, buf, rs, eps, key:
+            self._chunk(ts, buf, rs, eps, key, False, False),
+            donate_argnums=(1,))
         self._eval = jax.jit(self.evaluate, static_argnums=(2,))
 
     # -------------------------------------------------------------- #
@@ -146,14 +153,15 @@ class OffPolicyDriver:
             episodes=rs.episodes + jnp.sum(done.astype(jnp.int32)))
         return rs2, buf
 
-    def _chunk(self, ts_alg, buf, rs, epsilon, key, do_train: bool):
+    def _chunk(self, ts_alg, buf, rs, epsilon, key, do_train: bool,
+               random_actions: bool):
         """steps_per_train lockstep env steps, then one learning update."""
         spt = self.cfg.steps_per_train
 
         def body(carry, k):
             rs, buf = carry
             rs, buf = self._step_once(ts_alg, rs, buf, epsilon, k,
-                                      random_actions=not do_train)
+                                      random_actions=random_actions)
             return (rs, buf), ()
 
         (rs, buf), _ = jax.lax.scan(body, (rs, buf),
@@ -210,13 +218,18 @@ class OffPolicyDriver:
 
     def run(self, ts_alg, key, n_episodes: Optional[int] = None,
             log_fn: Optional[Callable[[Dict[str, Any]], None]] = None,
-            example_transition=None):
+            example_transition=None, initial_episodes: int = 0):
         """Host training loop until `n_episodes` completed episodes.
+        ``initial_episodes`` resumes the episode/epsilon schedule after an
+        elastic restart (the replay buffer restarts empty and is warmed
+        with policy rollouts for pretrain_episodes first).
         Returns (ts_alg, final stats dict)."""
         cfg = self.cfg
         n_episodes = n_episodes or cfg.N_train
         k_init, k_loop, k_eval = jax.random.split(key, 3)
         rs = init_rollout(self.hooks, k_init, self.n_envs)
+        if initial_episodes:
+            rs = rs.replace(episodes=jnp.int32(initial_episodes))
 
         if example_transition is None:
             # build one transition template from the live rollout state
@@ -229,16 +242,22 @@ class OffPolicyDriver:
             example_transition = jax.tree_util.tree_map(lambda x: x[0], tr)
         buf = replay.init(example_transition, cfg.buffer_size)
 
-        epsilon = cfg.epsilon_start
-        episodes_done = 0
-        last_logged_period = 0
+        epsilon = max(cfg.epsilon_end, cfg.epsilon_start
+                      - max(0, initial_episodes - cfg.pretrain_episodes)
+                      * cfg.epsilon_step)
+        last_logged_period = initial_episodes // cfg.period
         chunk_idx = 0
         history = []
         t0 = time.time()
+        episodes_done = initial_episodes
         while episodes_done < n_episodes:
             k = jax.random.fold_in(k_loop, chunk_idx)
-            pretrain = episodes_done < cfg.pretrain_episodes
-            fn = self._chunk_fill if pretrain else self._chunk_train
+            if episodes_done < cfg.pretrain_episodes:
+                pretrain, fn = True, self._chunk_fill       # random fill
+            elif episodes_done < initial_episodes + cfg.pretrain_episodes:
+                pretrain, fn = True, self._chunk_warm       # resume warm-up
+            else:
+                pretrain, fn = False, self._chunk_train
             ts_alg, buf, rs, metrics = fn(ts_alg, buf, rs, epsilon, k)
             chunk_idx += 1
             episodes_done = int(rs.episodes)  # one host sync per chunk

@@ -179,6 +179,18 @@ def train_function(master: Dict, workdir: str = ".",
     os.makedirs(save_dir, exist_ok=True)
     logger = CSVLogger(log_dir, hooks.n_agents)
 
+    # ---- elastic resume (TPU-native addition; reference has none —
+    # SURVEY.md §5 failure-detection bullet) ----
+    initial_episodes = 0
+    autosave_path = os.path.join(save_dir, "model_autosave")
+    if master.get("auto_resume", 0) and os.path.isdir(autosave_path):
+        restored = checkpoint.restore(
+            autosave_path, {"ts": ts, "episodes": jnp.int32(0)})
+        ts = restored["ts"]
+        initial_episodes = int(restored["episodes"])
+        if verbose:
+            print(f"auto-resume from episode {initial_episodes}")
+
     save_threshold = master.get("save_threshold")
     if save_threshold is None and experiment == "roadway":
         save_threshold = cfgmod.load_json(
@@ -199,9 +211,17 @@ def train_function(master: Dict, workdir: str = ".",
             checkpoint.save(
                 os.path.join(save_dir, f"model_good_{row['episode']}"),
                 row["_ts"])
+        # rolling autosave for elastic restart
+        checkpoint.save(autosave_path,
+                        {"ts": row["_ts"],
+                         "episodes": jnp.int32(row["episode"])})
 
+    run_kwargs = {}
+    if not isinstance(driver, OnPolicyDriver):
+        run_kwargs["initial_episodes"] = initial_episodes
     ts, stats = driver.run(ts, prng.for_purpose(key, prng.ROLLOUT),
-                           n_episodes=n_episodes, log_fn=log_fn)
+                           n_episodes=n_episodes, log_fn=log_fn,
+                           **run_kwargs)
     checkpoint.save(os.path.join(save_dir, "model_final"), ts)
     return ts, stats
 
