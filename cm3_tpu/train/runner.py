@@ -63,7 +63,10 @@ def build_env(master: Dict, experiment: str, stage: int):
     max_steps = master.get("max_steps", 33)
     prob_random = master.get("prob_random", 0.2)
     if experiment == "checkers":
-        return Checkers(cfgmod.checkers_env_config(stage, max_steps=50))
+        # the reference passes the master max_steps into Checkers
+        # (train_offpolicy.py:127)
+        return Checkers(cfgmod.checkers_env_config(stage,
+                                                   max_steps=max_steps))
     if experiment == "particle":
         name = master.get("particle_config", f"stage{stage}")
         name = name.replace("config_particle_", "").replace(".json", "")

@@ -1,0 +1,48 @@
+"""Multi-host loopback test: 2 jax.distributed processes x 4 virtual CPU
+devices run collectives and a sharded training chunk over one global
+8-device mesh (how multi-node is simulated without a pod —
+SURVEY.md §4)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_loopback():
+    port = _free_port()
+    worker = os.path.join(HERE, "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-u", worker, str(port), str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER{i} OK" in out, out
+    # both controllers computed the same loss (same global program)
+    l0 = [ln for ln in outs[0].splitlines() if "OK loss=" in ln][0]
+    l1 = [ln for ln in outs[1].splitlines() if "OK loss=" in ln][0]
+    assert l0.split("loss=")[1] == l1.split("loss=")[1]
