@@ -55,8 +55,127 @@ def bench_checkers_throughput(batch: int = 8192, steps: int = 256,
     return batch * steps * reps / dt
 
 
+def bench_particle_throughput(batch: int = 8192, steps: int = 256,
+                              reps: int = 5):
+    from cm3_tpu.core.config import ParticleEnvConfig
+    from cm3_tpu.envs.particle import Particle
+
+    env = Particle(ParticleEnvConfig(
+        n_agents=4, agents_x=(-0.9, 0.9, -0.9, 0.9),
+        agents_y=(-0.9, 0.9, 0.9, -0.9), landmarks_x=(0.9, -0.9, 0.9, -0.9),
+        landmarks_y=(0.9, -0.9, -0.9, 0.9), initial_std=0.0,
+        prob_random=0.2, max_steps=33))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(batch))
+    state, _ = jax.jit(jax.vmap(lambda k: env.reset(k, None)))(keys)
+
+    @jax.jit
+    def rollout(state, key):
+        def body(st, k):
+            k1, k2 = jax.random.split(k)
+            actions = jax.random.randint(k1, (batch, 4), 0, 5)
+            st, ts = jax.vmap(env.step)(st, actions)
+            st2, _ = jax.vmap(lambda kk: env.reset(kk, None))(
+                jax.random.split(k2, batch))
+            st = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    ts.done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+                st2, st)
+            return st, ts.reward
+        st, rew = jax.lax.scan(body, state, jax.random.split(key, steps))
+        return st, rew.sum()
+
+    state, _ = rollout(state, jax.random.PRNGKey(0))
+    jax.block_until_ready(state)
+    t0 = time.time()
+    for i in range(reps):
+        state, r = rollout(state, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(state)
+    return batch * steps * reps / (time.time() - t0)
+
+
+def bench_roadway_throughput(batch: int = 8192, steps: int = 128,
+                             reps: int = 5):
+    from cm3_tpu.core.config import RoadwayEnvConfig
+    from cm3_tpu.envs.roadway import Roadway
+
+    env = Roadway(RoadwayEnvConfig())
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(batch))
+    state, _ = jax.jit(jax.vmap(lambda k: env.reset(k, None)))(keys)
+
+    @jax.jit
+    def rollout(state, key):
+        def body(st, k):
+            k1, k2 = jax.random.split(k)
+            actions = jax.random.randint(k1, (batch, 2), 0, 5)
+            actions = jax.vmap(env.check_actions)(st, actions)
+            st, ts = jax.vmap(env.step)(st, actions)
+            st2, _ = jax.vmap(lambda kk: env.reset(kk, None))(
+                jax.random.split(k2, batch))
+            st = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    ts.done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+                st2, st)
+            return st, ts.reward
+        st, rew = jax.lax.scan(body, state, jax.random.split(key, steps))
+        return st, rew.sum()
+
+    state, _ = rollout(state, jax.random.PRNGKey(0))
+    jax.block_until_ready(state)
+    t0 = time.time()
+    for i in range(reps):
+        state, r = rollout(state, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(state)
+    return batch * steps * reps / (time.time() - t0)
+
+
+def bench_train_chunk(n_envs: int = 256, reps: int = 20):
+    """Full off-policy chunk throughput (env steps + replay + CM3 updates):
+    env-steps/s through the TRAINING path, stage-2 two-agent checkers."""
+    from cm3_tpu.algs.cm3 import CM3
+    from cm3_tpu.core.config import (AlgConfig, CheckersEnvConfig, NNConfig,
+                                     TrainConfig)
+    from cm3_tpu.envs.checkers import Checkers
+    from cm3_tpu.replay import buffer as replay
+    from cm3_tpu.train.experiments import make_hooks
+    from cm3_tpu.train.offpolicy import OffPolicyDriver, init_rollout
+
+    env = Checkers(CheckersEnvConfig(n_agents=2, agents_r=(0, 2),
+                                     agents_c=(8, 8), max_steps=50))
+    alg = CM3("checkers", env.spec(), AlgConfig(n_agents=2, stage=2))
+    cfg = TrainConfig(n_envs=n_envs, batch_size=128, buffer_size=20000,
+                      steps_per_train=10, updates_per_chunk=8)
+    hooks = make_hooks("checkers", env)
+    driver = OffPolicyDriver(hooks, alg, cfg)
+    rs = init_rollout(hooks, jax.random.PRNGKey(0), n_envs)
+    ts = alg.init_state(jax.random.PRNGKey(1), rs.obs, rs.state, rs.goals)
+    dummy = jax.vmap(env.step)(rs.env_state,
+                               jnp.zeros((n_envs, 2), jnp.int32))[1]
+    tr = driver._transition(rs, jnp.zeros((n_envs, 2), jnp.int32), dummy,
+                            None)
+    buf = replay.init(jax.tree_util.tree_map(lambda x: x[0], tr),
+                      cfg.buffer_size)
+    ts, buf, rs, _ = driver._chunk_train(ts, buf, rs, 0.2,
+                                         jax.random.PRNGKey(2))
+    jax.block_until_ready(rs.episodes)
+    t0 = time.time()
+    for i in range(reps):
+        ts, buf, rs, _ = driver._chunk_train(ts, buf, rs, 0.2,
+                                             jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(rs.episodes)
+    return n_envs * cfg.steps_per_train * reps / (time.time() - t0)
+
+
 if __name__ == "__main__":
+    import sys
+
     value = bench_checkers_throughput()
+    detail = {"checkers_env_steps_per_s": round(value)}
+    if "--full" in sys.argv:
+        detail["particle_env_steps_per_s"] = round(
+            bench_particle_throughput())
+        detail["roadway_env_steps_per_s"] = round(bench_roadway_throughput())
+        detail["train_chunk_env_steps_per_s"] = round(bench_train_chunk())
+        print(json.dumps(detail), file=sys.stderr)
     print(json.dumps({
         "metric": "checkers_env_steps_per_s",
         "value": round(value),

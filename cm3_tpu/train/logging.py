@@ -38,6 +38,7 @@ class CSVLogger:
         self.extra_cols = tuple(extra_cols)
 
     def log_period(self, row: Dict):
+        self._log_jsonl(row)
         s = "%d,%.2f," % (row["episode"], row["r_train_global"])
         s += ",".join("{:.2f}".format(v) for v in row["r_train_local"])
         s += ",%.2f," % row["r_eval_global"]
@@ -49,6 +50,27 @@ class CSVLogger:
         s += ",%d\n" % int(row["duration_s"])
         with open(self.century_path, "a") as f:
             f.write(s)
+
+    def _log_jsonl(self, row: Dict):
+        """Full row (losses, timings, ...) as one JSON line per period —
+        the machine-readable stream replacing the reference's optional
+        TF summaries (summarize=false by default, config.json:64)."""
+        import json
+        clean = {}
+        for k, v in row.items():
+            if k.startswith("_"):
+                continue
+            if isinstance(v, np.ndarray):
+                clean[k] = [float(x) for x in v]
+            elif isinstance(v, (int, float, str, bool)):
+                clean[k] = v
+            else:
+                try:
+                    clean[k] = float(v)
+                except (TypeError, ValueError):
+                    pass
+        with open(os.path.join(self.dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(clean) + "\n")
 
 
 def stdout_log(row: Dict):
