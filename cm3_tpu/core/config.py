@@ -110,6 +110,12 @@ class RoadwayEnvConfig:
     obs_left: int = 4
     obs_right: int = 4
     res_forward: float = 2.5
+    # ray-cast shadow occlusion on the egocentric grid
+    # (observation.py:180-303; off by default like the reference)
+    occlusion: bool = False
+    # traffic metrics (multicar_simple.py:19-20,37-38)
+    follow_threshold: float = 15.0
+    v_threshold: float = 29.05
     # max_step = round((total_length/25)/dt) (egocar_simple.py:79)
 
     @property
@@ -128,6 +134,15 @@ class RoadwayEnvConfig:
     @property
     def obs_cols(self) -> int:
         return self.obs_left + self.obs_right + 1
+
+    # global-tensor grid over the whole road (multicar_simple.py:62-63)
+    @property
+    def n_rows(self) -> int:
+        return int(self.total_length / self.res_forward)
+
+    @property
+    def n_cols(self) -> int:
+        return int(self.total_width / self.sublane_res)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,6 +58,111 @@ from cm3_tpu.envs import base
 NOOP, ACC, DEC, LEFT, RIGHT = range(5)
 
 
+def occlude(occ, relspeed, *, back, front, num_ego_cells, c_self):
+    """Ray-cast shadow occlusion on one egocentric grid pair.
+
+    Re-derivation of ``observation.py:180-303`` (``Observation.occlude``,
+    off by default there and latent-broken as shipped: ``occlude_cell``
+    writes ``mat_signal_left/right`` which ``reset_matrices`` never
+    creates).  Semantics, per sweep direction from the ego cell block
+    (rows ``r_lo+1..r_hi-1`` at column ``c_self``):
+
+      * along the ego column (forward rows >= ``r_hi = back+1``, backward
+        rows <= ``r_lo = back-num_ego_cells``): everything at and beyond
+        the first occupied->free falling edge is shadowed;
+      * along the ego rows (left/right of ``c_self``): everything strictly
+        beyond the first occupied cell is shadowed;
+      * in the four quadrants, sweeping rows away from the ego: within a
+        row, everything strictly beyond the first trigger is shadowed,
+        where a trigger is an occupied cell OR a free cell whose
+        row-toward-ego neighbour (post-occlusion) is occupied (skipped on
+        the first row of the top/bottom-right sweeps; the reference's
+        bottom-LEFT sweep starts one row lower and never skips — kept).
+
+    Shadowed cells: occupancy -1, relspeed 0.  Runs on the occupancy
+    BEFORE off-road column fill, like the reference.  occ/relspeed are
+    [rows, cols] f32; all bounds static.  Cost is a handful of masked
+    cumsums + four ~``rows/2``-length scans on a 13x9 grid — negligible,
+    and only compiled when ``occlusion=true``.
+    """
+    rows, cols = occ.shape
+    r_hi = back + 1
+    r_lo = back - num_ego_cells
+
+    def cummax_incl(x, axis=0):
+        return jnp.cumsum(x.astype(jnp.int32), axis=axis) > 0
+
+    def cummax_excl(x, axis=0):
+        c = jnp.cumsum(x.astype(jnp.int32), axis=axis)
+        return (c - x.astype(jnp.int32)) > 0
+
+    shadow = jnp.zeros((rows, cols), bool)
+
+    # --- ego-column sweeps: shadow from the first falling edge on ---
+    def column_sweep(seg):                     # seg: [k] occupancy values
+        prev = jnp.concatenate([jnp.zeros((1,), seg.dtype), seg[:-1]])
+        falling = (prev == 1.0) & (seg == 0.0)
+        return cummax_incl(falling)
+
+    fwd = column_sweep(occ[r_hi:, c_self])
+    shadow = shadow.at[r_hi:, c_self].set(fwd)
+    bwd = column_sweep(occ[r_lo::-1, c_self])
+    shadow = shadow.at[r_lo::-1, c_self].set(bwd)
+
+    # --- ego-row lateral sweeps: shadow strictly beyond first occupied ---
+    ego_rows = occ[r_lo + 1:r_hi, :]
+    right = cummax_excl(ego_rows[:, c_self + 1:] == 1.0, axis=1)
+    shadow = shadow.at[r_lo + 1:r_hi, c_self + 1:].set(right)
+    left = cummax_excl(ego_rows[:, c_self - 1::-1] == 1.0, axis=1)
+    shadow = shadow.at[r_lo + 1:r_hi, c_self - 1::-1].set(left)
+
+    # --- quadrant sweeps (row scan carries the post-occlusion row) ---
+    def quadrant(quad):
+        """quad: [q_rows, q_cols] oriented so rows/cols increase away
+        from the ego; returns shadow mask in the same orientation."""
+        def row_step(prev_row, xs):
+            is_first, row = xs
+            trigger = (row == 1.0) | (
+                (row == 0.0) & (prev_row == 1.0) & ~is_first)
+            sh = cummax_excl(trigger)
+            return jnp.where(sh, -1.0, row), sh
+
+        q_rows = quad.shape[0]
+        first = jnp.zeros((q_rows,), bool).at[0].set(True)
+        _, sh = jax.lax.scan(row_step, jnp.zeros_like(quad[0]),
+                             (first, quad))
+        return sh
+
+    tr = quadrant(occ[r_hi:, c_self + 1:])
+    shadow = shadow.at[r_hi:, c_self + 1:].set(tr | shadow[r_hi:,
+                                                           c_self + 1:])
+    tl = quadrant(occ[r_hi:, c_self - 1::-1])
+    shadow = shadow.at[r_hi:, c_self - 1::-1].set(
+        tl | shadow[r_hi:, c_self - 1::-1])
+    br = quadrant(occ[r_lo::-1, c_self + 1:])
+    shadow = shadow.at[r_lo::-1, c_self + 1:].set(
+        br | shadow[r_lo::-1, c_self + 1:])
+    # bottom-left: starts at r_lo-1 and its first-row guard never fires
+    # (reference compares r != r_lo but never visits r_lo) — so seed the
+    # scan with the ORIGINAL row at r_lo as the carry and no guard skip.
+    if r_lo >= 1:
+        quad_bl = occ[r_lo - 1::-1, c_self - 1::-1]
+
+        def row_step_bl(prev_row, row):
+            trigger = (row == 1.0) | ((row == 0.0) & (prev_row == 1.0))
+            sh = cummax_excl(trigger)
+            return jnp.where(sh, -1.0, row), sh
+
+        _, bl = jax.lax.scan(row_step_bl, occ[r_lo, c_self - 1::-1],
+                             quad_bl)
+        shadow = shadow.at[r_lo - 1::-1, c_self - 1::-1].set(
+            bl | shadow[r_lo - 1::-1, c_self - 1::-1])
+
+    occ = jnp.where(shadow, -1.0, occ)
+    relspeed = jnp.where(shadow, 0.0, relspeed)
+    return occ, relspeed
+
+
 @struct.dataclass
 class RoadwayState:
     x: jax.Array            # [N] longitudinal position (m)
@@ -265,12 +370,22 @@ class Roadway(base.Env):
         relspeed = jnp.where(occupancy > 0, relsp_fill,
                              jnp.broadcast_to(blank, occupancy.shape))
 
+        # optional ray-cast occlusion BEFORE the off-road fill, like the
+        # reference (observation.py:113-114)
+        if c.occlusion:
+            num_ego = int(round(c.car_length / c.res_forward))
+            occupancy, relspeed = jax.vmap(
+                lambda o, r: occlude(o, r, back=back,
+                                     front=rows - back - 1,
+                                     num_ego_cells=num_ego,
+                                     c_self=c.obs_left))(occupancy,
+                                                         relspeed)
+
         # off-road columns occupied (observation.py:117-121)
         l_sub = (state.sublane[:, None]
                  + (c.obs_left - jnp.arange(cols)[None, :]))
         offroad = (l_sub <= 0) | (l_sub >= c.n_sublanes)
-        occupancy = jnp.maximum(occupancy, offroad[:, None, :]
-                                .astype(jnp.float32))
+        occupancy = jnp.where(offroad[:, None, :], 1.0, occupancy)
 
         grid = jnp.stack([occupancy, relspeed], axis=-1)   # [N, rows, cols, 2]
         vec = jnp.stack(
@@ -286,3 +401,126 @@ class Roadway(base.Env):
             [(state.x - c.total_length / 2) / c.total_length,
              (y + c.total_width / 2) / c.total_width,
              state.vel / 29.0], axis=-1))
+
+    # ------------------------------------------------------------------ #
+    # Traffic metrics + whole-road tensor (multicar_simple.py:117-301).
+    # These are the reference's auxiliary observability surface; all are
+    # jittable pure functions of the state, usable under vmap.
+
+    @property
+    def _lane(self):
+        c = self.cfg
+        return lambda sub: sub // c.sublanes_per_lane
+
+    def avg_speed(self, state: RoadwayState):
+        """Mean speed of live cars / v_threshold; 1.0 when road is empty
+        (multicar_simple.py:158-166 with the NaN->1 convention of
+        get_avg_speeds)."""
+        live = (~state.removed).astype(jnp.float32)
+        n_live = jnp.sum(live)
+        mean = jnp.sum(state.vel * live) / jnp.maximum(n_live, 1.0)
+        return jnp.where(n_live > 0, mean / self.cfg.v_threshold, 1.0)
+
+    def avg_speeds(self, state: RoadwayState):
+        """Per-road-section normalized average speeds, 6 categories
+        (multicar_simple.py:117-156).  On the reference's *simple*
+        network (one straight edge ``edge1``) only two of its six
+        sections can be non-empty: section 2 = edge1 lane 0 and section
+        5 = every other lane; ramp/merge sections 0,1,3,4 are always
+        empty and report 1.0 (the reference's NaN->1 rule)."""
+        c = self.cfg
+        lane = self._lane(state.sublane)
+        live = ~state.removed
+        sec = jnp.where(lane == 0, 2, 5)
+        vec = []
+        for s in range(6):
+            m = (live & (sec == s)).astype(jnp.float32)
+            cnt = jnp.sum(m)
+            mean = jnp.sum(state.vel * m) / jnp.maximum(cnt, 1.0)
+            vec.append(jnp.where(cnt > 0, mean / c.v_threshold, 1.0))
+        return jnp.stack(vec)
+
+    def count_close(self, state: RoadwayState):
+        """Number of (follower, nearest-leader-in-lane) pairs with bumper
+        gap < follow_threshold and lateral offset < 1.6 m
+        (multicar_simple.py:170-225: consecutive cars in the per-lane
+        x-sorted list == each car paired with its nearest leader)."""
+        c = self.cfg
+        n = c.n_agents
+        live = ~state.removed
+        lane = self._lane(state.sublane)
+        y = self._y(state.sublane)
+        dx = state.x[None, :] - state.x[:, None]          # leader - ego
+        same_lane = (lane[:, None] == lane[None, :]) & live[:, None] \
+            & live[None, :] & ~jnp.eye(n, dtype=bool)
+        ahead = same_lane & (dx > 0)
+        # nearest leader per car
+        dx_masked = jnp.where(ahead, dx, jnp.inf)
+        j = jnp.argmin(dx_masked, axis=1)
+        has_leader = jnp.any(ahead, axis=1)
+        gap = jnp.take_along_axis(dx_masked, j[:, None], 1)[:, 0] \
+            - c.car_length
+        dy = jnp.abs(y[j] - y)
+        close = has_leader & (dy < 1.6) & (gap < c.follow_threshold)
+        return jnp.sum(close.astype(jnp.int32))
+
+    def count_success(self, state: RoadwayState):
+        """Count of lane-changing cars that reached their goal lane at
+        the goal position.  The reference's ``count_success``
+        (multicar_simple.py:227-239) is dead code as shipped (no car ever
+        defines ``must_merge``); this is the working equivalent:
+        must-merge == departed on a different lane than its goal."""
+        c = self.cfg
+        start_lane = jnp.asarray(c.lane, jnp.int32)
+        must_merge = start_lane != state.goal_lane
+        goal_sub = (state.goal_lane * c.sublanes_per_lane
+                    + c.sublanes_per_lane // 2)
+        succeeded = (state.terminal & ~state.collided
+                     & (state.sublane == goal_sub)
+                     & (state.x >= jnp.asarray(c.goal_pos, jnp.float32)))
+        return jnp.sum((must_merge & succeeded).astype(jnp.int32))
+
+    def count_remaining(self, state: RoadwayState):
+        """Live controlled cars still on lane 0
+        (multicar_simple.py:242-254; its 'edge2 lane 0' is lane 0 of the
+        one edge that exists in the simple network)."""
+        lane = self._lane(state.sublane)
+        return jnp.sum(((~state.removed) & (lane == 0)).astype(jnp.int32))
+
+    def global_tensor(self, state: RoadwayState, last_actions=None):
+        """[n_rows, n_cols, 4] whole-road grid in absolute coordinates:
+        occupancy, speed/29, left-signal, right-signal
+        (multicar_simple.py:257-301).  The reference reads SUMO blinker
+        bits (bit1 left / bit0 right); the kinematic equivalent derives
+        them from the car's last action (LEFT/RIGHT sublane moves)."""
+        c = self.cfg
+        n = c.n_agents
+        rows, cols = c.n_rows, c.n_cols
+        live = ~state.removed
+        num_cells = int(round(c.car_length / c.res_forward))
+
+        row_hi = jnp.round(state.x / c.res_forward).astype(jnp.int32)
+        col = jnp.round(jnp.abs(self._y(state.sublane))
+                        / c.sublane_res).astype(jnp.int32)
+
+        rr = jnp.arange(rows)[None, :]                    # [1, rows]
+        in_row = ((rr >= (row_hi - num_cells)[:, None])
+                  & (rr < row_hi[:, None]))               # [N, rows]
+        cc = jnp.arange(cols)[None, :]
+        in_col = cc == col[:, None]                       # [N, cols]
+        cell = (in_row[:, :, None] & in_col[:, None, :]
+                & live[:, None, None])                    # [N, rows, cols]
+
+        occupancy = jnp.any(cell, axis=0).astype(jnp.float32)
+        speed = jnp.max(jnp.where(cell, (state.vel / 29.0)[:, None, None],
+                                  0.0), axis=0)
+        if last_actions is None:
+            sig_l = jnp.zeros((rows, cols), jnp.float32)
+            sig_r = jnp.zeros((rows, cols), jnp.float32)
+        else:
+            a = jnp.asarray(last_actions, jnp.int32)
+            sig_l = jnp.any(cell & (a == LEFT)[:, None, None],
+                            axis=0).astype(jnp.float32)
+            sig_r = jnp.any(cell & (a == RIGHT)[:, None, None],
+                            axis=0).astype(jnp.float32)
+        return jnp.stack([occupancy, speed, sig_l, sig_r], axis=-1)
