@@ -33,6 +33,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cm3_tpu.algs.baseline import Baseline
 from cm3_tpu.algs.cm3 import CM3
@@ -42,7 +43,7 @@ from cm3_tpu.core import prng
 from cm3_tpu.envs.checkers import Checkers
 from cm3_tpu.envs.particle import Particle
 from cm3_tpu.envs.roadway import Roadway
-from cm3_tpu.train import checkpoint
+from cm3_tpu.train import checkpoint, tboard
 from cm3_tpu.train.experiments import make_hooks
 from cm3_tpu.train.logging import CSVLogger, stdout_log
 from cm3_tpu.train.offpolicy import OffPolicyDriver, init_rollout
@@ -181,6 +182,9 @@ def train_function(master: Dict, workdir: str = ".",
     save_dir = os.path.join(workdir, "saved", dir_name)
     os.makedirs(save_dir, exist_ok=True)
     logger = CSVLogger(log_dir, hooks.n_agents)
+    # TensorBoard event stream when summarize:true (config.json:64;
+    # FileWriter at train_offpolicy.py:176, emission at :350-356)
+    tb = tboard.SummaryWriter(log_dir) if master.get("summarize") else None
 
     # ---- elastic resume (TPU-native addition; reference has none —
     # SURVEY.md §5 failure-detection bullet) ----
@@ -203,6 +207,15 @@ def train_function(master: Dict, workdir: str = ".",
         logger.log_period(row)
         if verbose:
             stdout_log(row)
+        if tb is not None:
+            step = int(row["episode"])
+            for k, v in row.items():
+                if isinstance(v, (int, float)) and k != "episode":
+                    tb.scalar(k, v, step)
+            for i, r in enumerate(np.asarray(row["r_eval_local"]).ravel()):
+                tb.scalar(f"r_eval_local/agent_{i}", float(r), step)
+            tboard.log_train_state(tb, row["_ts"], step)
+            tb.flush()
         # threshold-gated snapshots (train_offpolicy.py:391-398)
         r_eval = row["r_eval_local"]
         good = False
