@@ -1,12 +1,20 @@
 """Headline benchmark: aggregate Checkers env throughput on TPU.
 
-Steps B vectorized two-agent Checkers instances with a random policy,
-fused over T steps with ``lax.scan`` under one jit (no per-step host
-round-trips), and reports instance-steps/second.
+Headline: the Pallas fused rollout kernel — bit-packed env state held in
+vector registers across the whole trajectory, hardware-PRNG random
+policy, zero HBM traffic per step (cm3_tpu/ops/checkers_rollout.py;
+dynamics differentially proven equal to the grid engine, which is
+golden-tested against the reference).  Also measured (--full): the XLA
+grid-engine scan the training path uses, particle/roadway engines, and
+the full training chunk.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is measured-value / north-star target (10M env-steps/s
 aggregate, BASELINE.md).
+
+Timing note: results are synced by forcing a scalar host transfer, not
+just block_until_ready — on the tunneled remote backend the latter does
+not reliably wait for uncarried pallas outputs.
 """
 
 import json
@@ -14,6 +22,33 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+
+def bench_checkers_fused(batch: int = 1 << 20, steps: int = 8192,
+                         reps: int = 3):
+    from cm3_tpu.core.config import CheckersEnvConfig
+    from cm3_tpu.envs import checkers_packed as cp
+    from cm3_tpu.ops import checkers_rollout as cr
+
+    spec = cp.make_spec(
+        CheckersEnvConfig(n_agents=2, agents_r=(0, 2), agents_c=(8, 8),
+                          max_steps=50), (True, False))
+
+    @jax.jit
+    def run(seed):
+        rew, ep = cr.rollout_prng(spec, batch=batch, n_steps=steps,
+                                  seed=seed, sub=64)
+        return rew.sum(), ep.sum()
+
+    r, e = run(0)
+    float(r)                                   # compile + sync
+    t0 = time.time()
+    tot = 0.0
+    for i in range(reps):
+        r, e = run(i + 1)
+        tot += float(r)                        # forces completion
+    dt = time.time() - t0
+    return batch * steps * reps / dt
 
 
 def bench_checkers_throughput(batch: int = 8192, steps: int = 256,
@@ -168,9 +203,11 @@ def bench_train_chunk(n_envs: int = 256, reps: int = 20):
 if __name__ == "__main__":
     import sys
 
-    value = bench_checkers_throughput()
-    detail = {"checkers_env_steps_per_s": round(value)}
+    value = bench_checkers_fused()
+    detail = {"checkers_fused_env_steps_per_s": round(value)}
     if "--full" in sys.argv:
+        detail["checkers_grid_env_steps_per_s"] = round(
+            bench_checkers_throughput())
         detail["particle_env_steps_per_s"] = round(
             bench_particle_throughput())
         detail["roadway_env_steps_per_s"] = round(bench_roadway_throughput())
