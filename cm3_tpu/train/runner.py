@@ -245,7 +245,25 @@ def train_function(master: Dict, workdir: str = ".",
 def train_multiseed(master: Dict, workdir: str = ".",
                     n_episodes: Optional[int] = None):
     """n_seeds replicas, seed_base + i, dir_name_<i>
-    (train_multiprocess.py:31-43)."""
+    (train_multiprocess.py:31-43).  With ``vmapped_seeds: true`` all
+    seeds train simultaneously in one jitted program (vmap over the
+    seed axis, SURVEY.md §2.4) instead of sequentially; final per-seed
+    checkpoints land in saved/<dir_name>_<i>/."""
+    if master.get("vmapped_seeds"):
+        from cm3_tpu.train.multiseed import train_vmapped_seeds
+        driver, alg, hooks, train_cfg = build(master)
+        n_seeds = master.get("n_seeds", 1)
+        ts, history = train_vmapped_seeds(
+            hooks, alg, train_cfg, n_seeds=n_seeds,
+            base_seed=master.get("seed", 12341), n_episodes=n_episodes)
+        base_dir = master.get("dir_name", "try")
+        start = master.get("dir_idx_start", 1)
+        for i in range(n_seeds):
+            ts_i = jax.tree_util.tree_map(lambda x: x[i], ts)
+            d = os.path.join(workdir, "saved", f"{base_dir}_{start + i}")
+            os.makedirs(d, exist_ok=True)
+            checkpoint.save(os.path.join(d, "model_final"), ts_i)
+        return ts, history
     results = []
     base_seed = master.get("seed", 12341)
     base_dir = master.get("dir_name", "try")

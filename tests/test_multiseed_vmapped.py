@@ -1,0 +1,43 @@
+"""Vmapped multi-seed trainer: S independent replicas advance in one
+jitted chunk; seeds produce distinct params/curves; per-seed epsilon
+schedules follow per-seed episode counts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cm3_tpu.algs.cm3 import CM3
+from cm3_tpu.core.config import AlgConfig, CheckersEnvConfig, TrainConfig
+from cm3_tpu.envs.checkers import Checkers
+from cm3_tpu.train.experiments import make_hooks
+from cm3_tpu.train.multiseed import train_vmapped_seeds
+
+
+def test_vmapped_seeds_train_and_differ():
+    env = Checkers(CheckersEnvConfig(n_agents=2, agents_r=(0, 2),
+                                     agents_c=(8, 8), max_steps=50))
+    alg = CM3("checkers", env.spec(), AlgConfig(n_agents=2, stage=2))
+    cfg = TrainConfig(n_envs=8, batch_size=16, buffer_size=512,
+                      steps_per_train=4, updates_per_chunk=1,
+                      pretrain_episodes=4, period=10, N_eval=4,
+                      N_train=30)
+    hooks = make_hooks("checkers", env)
+    S = 3
+    rows = []
+    ts, history = train_vmapped_seeds(hooks, alg, cfg, n_seeds=S,
+                                      base_seed=123,
+                                      log_fn=lambda r: rows.append(r))
+    assert len(history) >= 1
+    row = history[-1]
+    assert row["episode"].shape == (S,)
+    assert (row["episode"] >= 30).all()
+    assert row["r_eval_local"].shape == (S, 2)
+    # seeds genuinely independent: params differ across the seed axis
+    leaves = jax.tree_util.tree_leaves(ts)
+    diff = any(
+        np.asarray(l).shape[:1] == (S,)
+        and not np.allclose(np.asarray(l)[0], np.asarray(l)[1])
+        for l in leaves if hasattr(l, "shape") and l.ndim >= 2)
+    assert diff, "seed replicas did not diverge"
+    # log_fn received the same rows
+    assert len(rows) == len(history)
