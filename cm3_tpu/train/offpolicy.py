@@ -185,7 +185,9 @@ class OffPolicyDriver:
 
     def evaluate(self, ts_alg, key, n_eval: int):
         """Greedy (eps=0) policy rollouts (alg/evaluate.py): returns
-        (mean per-agent return [N], mean global return)."""
+        (mean per-agent return [N], mean global return, per-agent action
+        distribution [N, A] — the reference prints this for checkers,
+        evaluate.py:193-200)."""
         hooks = self.eval_hooks
         env = hooks.env
         n = hooks.n_agents
@@ -193,9 +195,10 @@ class OffPolicyDriver:
         env_state, ts, goals = jax.vmap(hooks.episode_init)(keys)
 
         max_steps = self.cfg.max_steps
+        n_act = self.alg.n_actions
 
         def body(carry, k):
-            env_state, obs, a_prev, alive, ret_l, ret_g = carry
+            env_state, obs, a_prev, alive, ret_l, ret_g, acts = carry
             actions = self.alg.act(ts_alg, obs, goals, a_prev, 0.0, k)
             if hasattr(env, "check_actions"):
                 actions = jax.vmap(env.check_actions)(env_state, actions)
@@ -203,16 +206,20 @@ class OffPolicyDriver:
             m = alive.astype(jnp.float32)
             ret_l = ret_l + ts2.reward_local * m[:, None]
             ret_g = ret_g + ts2.reward * m
+            acts = acts + jnp.sum(
+                jax.nn.one_hot(actions, n_act) * m[:, None, None], axis=0)
             alive2 = alive & ~ts2.done
             obs2 = ts2.obs
-            return (env_state2, obs2, actions, alive2, ret_l, ret_g), ()
+            return (env_state2, obs2, actions, alive2, ret_l, ret_g,
+                    acts), ()
 
         init = (env_state, ts.obs, jnp.zeros((n_eval, n), jnp.int32),
                 jnp.ones(n_eval, bool), jnp.zeros((n_eval, n)),
-                jnp.zeros(n_eval))
-        (_, _, _, _, ret_l, ret_g), _ = jax.lax.scan(
+                jnp.zeros(n_eval), jnp.zeros((n, n_act)))
+        (_, _, _, _, ret_l, ret_g, acts), _ = jax.lax.scan(
             body, init, jax.random.split(key, max_steps))
-        return jnp.mean(ret_l, axis=0), jnp.mean(ret_g)
+        act_dist = acts / jnp.maximum(jnp.sum(acts, -1, keepdims=True), 1.0)
+        return jnp.mean(ret_l, axis=0), jnp.mean(ret_g), act_dist
 
     # -------------------------------------------------------------- #
 
@@ -270,7 +277,7 @@ class OffPolicyDriver:
             period_idx = episodes_done // cfg.period
             if period_idx > last_logged_period:
                 last_logged_period = period_idx
-                r_eval_local, r_eval_global = self._eval(
+                r_eval_local, r_eval_global, act_dist = self._eval(
                     ts_alg, jax.random.fold_in(k_eval, period_idx),
                     cfg.N_eval)
                 row = {
@@ -278,6 +285,7 @@ class OffPolicyDriver:
                     "epsilon": epsilon,
                     "r_eval_local": np.asarray(r_eval_local),
                     "r_eval_global": float(r_eval_global),
+                    "eval_action_dist": np.asarray(act_dist).ravel(),
                     "r_train_local": np.asarray(rs.acc_ret_local)
                     / max(cfg.period, 1),
                     "r_train_global": float(rs.acc_ret_global)

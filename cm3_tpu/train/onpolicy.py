@@ -101,13 +101,14 @@ class OnPolicyDriver(OffPolicyDriver):
             period_idx = episodes_done // cfg.period
             if period_idx > last_logged_period:
                 last_logged_period = period_idx
-                r_eval_local, r_eval_global = self._eval(
+                r_eval_local, r_eval_global, act_dist = self._eval(
                     ts_alg, jax.random.fold_in(k_eval, period_idx),
                     cfg.N_eval)
                 row = {
                     "episode": episodes_done, "epsilon": epsilon,
                     "r_eval_local": np.asarray(r_eval_local),
                     "r_eval_global": float(r_eval_global),
+                    "eval_action_dist": np.asarray(act_dist).ravel(),
                     "r_train_local": np.asarray(rs.acc_ret_local)
                     / max(cfg.period, 1),
                     "r_train_global": float(rs.acc_ret_global)

@@ -46,7 +46,7 @@ def test_full_curriculum():
     ts1 = alg1.init_state(jax.random.PRNGKey(1), rs1.obs, rs1.state,
                           rs1.goals)
     ts1, _ = d1.run(ts1, key, n_episodes=2500)
-    r_l1, r_g1 = d1._eval(ts1, jax.random.PRNGKey(7), 32)
+    r_l1, r_g1, _ = d1._eval(ts1, jax.random.PRNGKey(7), 32)
     assert float(r_g1) > 2.0, f"stage-1 did not learn: {float(r_g1):.2f}"
 
     # ---- graft into stage 2 ----
@@ -58,8 +58,8 @@ def test_full_curriculum():
 
     # the grafted policy transfers: the 2-agent eval with the stage-1
     # policy per agent should already beat a fresh random policy clearly
-    r_fresh_l, r_fresh = d2._eval(ts2_fresh, jax.random.PRNGKey(8), 32)
-    r_graft_l, r_graft = d2._eval(ts2, jax.random.PRNGKey(8), 32)
+    r_fresh_l, r_fresh, _ = d2._eval(ts2_fresh, jax.random.PRNGKey(8), 32)
+    r_graft_l, r_graft, _ = d2._eval(ts2, jax.random.PRNGKey(8), 32)
     # (the tiny 3x4 test board makes two agents interfere heavily, so
     # the transfer margin is modest but must be clearly positive)
     assert float(r_graft) > float(r_fresh) + 0.3, (
@@ -68,7 +68,7 @@ def test_full_curriculum():
 
     # ---- stage 2 training continues to improve ----
     ts2, _ = d2.run(ts2, jax.random.PRNGKey(4), n_episodes=2500)
-    r_l2, r_g2 = d2._eval(ts2, jax.random.PRNGKey(8), 32)
+    r_l2, r_g2, _ = d2._eval(ts2, jax.random.PRNGKey(8), 32)
     assert float(r_g2) > float(r_graft), (
         f"stage-2 training regressed: {float(r_graft):.2f} -> "
         f"{float(r_g2):.2f}")

@@ -52,9 +52,9 @@ def test_driver_short_run_improves_over_random():
     rs = init_rollout(hooks, key, cfg.n_envs)
     ts = alg.init_state(jax.random.PRNGKey(1), rs.obs, rs.state, rs.goals)
 
-    r_local0, r_global0 = driver._eval(ts, jax.random.PRNGKey(7), 16)
+    r_local0, r_global0, _ = driver._eval(ts, jax.random.PRNGKey(7), 16)
     ts, stats = driver.run(ts, key, n_episodes=2000)
-    r_local1, r_global1 = driver._eval(ts, jax.random.PRNGKey(7), 16)
+    r_local1, r_global1, _ = driver._eval(ts, jax.random.PRNGKey(7), 16)
 
     # single-agent 3x4 Checkers: 6 collectible greens (max +6); random
     # policy scores ~<1, the trained greedy policy must be clearly better

@@ -30,9 +30,9 @@ def test_onpolicy_particle_stage1_learns():
     rs = init_rollout(hooks, key, cfg.n_envs)
     ts = alg.init_state(jax.random.PRNGKey(1), rs.obs, rs.state, rs.goals)
 
-    r_l0, r_g0 = driver._eval(ts, jax.random.PRNGKey(7), 16)
+    r_l0, r_g0, _ = driver._eval(ts, jax.random.PRNGKey(7), 16)
     ts, stats = driver.run(ts, key, n_episodes=1600)
-    r_l1, r_g1 = driver._eval(ts, jax.random.PRNGKey(7), 16)
+    r_l1, r_g1, _ = driver._eval(ts, jax.random.PRNGKey(7), 16)
 
     # random policy wanders: return ~ -(dist ~2.8)*33 ~ -90; trained policy
     # drives toward the landmark so the return must improve substantially

@@ -75,7 +75,7 @@ def test_eval_under_mesh():
     driver, ts, buf, rs = _setup(n_envs)
     m = meshlib.make_mesh(8)
     ts_r = meshlib.replicate(ts, m)
-    r_l, r_g = driver._eval(ts_r, jax.random.PRNGKey(3), 16)
+    r_l, r_g, _ = driver._eval(ts_r, jax.random.PRNGKey(3), 16)
     assert np.isfinite(float(r_g))
 
 

@@ -28,9 +28,9 @@ def test_roadway_stage1_cm3_learns():
     rs = init_rollout(hooks, key, cfg.n_envs)
     ts = alg.init_state(jax.random.PRNGKey(1), rs.obs, rs.state, rs.goals)
 
-    r_l0, r_g0 = driver._eval(ts, jax.random.PRNGKey(7), 16)
+    r_l0, r_g0, _ = driver._eval(ts, jax.random.PRNGKey(7), 16)
     ts, stats = driver.run(ts, key, n_episodes=2000)
-    r_l1, r_g1 = driver._eval(ts, jax.random.PRNGKey(7), 16)
+    r_l1, r_g1, _ = driver._eval(ts, jax.random.PRNGKey(7), 16)
 
     # fully-random start/goal lanes: an untrained policy averages ~7
     # (shaped partial-goal rewards); trained CM3 must clear ~9 —
