@@ -163,6 +163,31 @@ def bench_roadway_throughput(batch: int = 8192, steps: int = 128,
     return batch * steps * reps / (time.time() - t0)
 
 
+def bench_roadway_fused(batch: int = 1 << 20, steps: int = 2048,
+                        reps: int = 3):
+    """Pallas fused roadway rollout: SoA dynamics state in vector
+    registers, in-kernel TTC check_actions + auto-reset, hardware PRNG
+    policy (cm3_tpu/ops/roadway_rollout.py)."""
+    from cm3_tpu.core.config import RoadwayEnvConfig
+    from cm3_tpu.ops import roadway_rollout as rr
+
+    cfg = RoadwayEnvConfig(depart_stdev=0.0)
+
+    @jax.jit
+    def run(seed):
+        rew, ep = rr.rollout_prng(cfg, batch=batch, n_steps=steps,
+                                  seed=seed, sub=64)
+        return rew.sum(), ep.sum()
+
+    r, e = run(0)
+    float(r)
+    t0 = time.time()
+    for i in range(reps):
+        r, e = run(i + 1)
+        float(r)
+    return batch * steps * reps / (time.time() - t0)
+
+
 def bench_train_chunk(n_envs: int = 256, reps: int = 20):
     """Full off-policy chunk throughput (env steps + replay + CM3 updates):
     env-steps/s through the TRAINING path, stage-2 two-agent checkers."""
@@ -211,6 +236,8 @@ if __name__ == "__main__":
         detail["particle_env_steps_per_s"] = round(
             bench_particle_throughput())
         detail["roadway_env_steps_per_s"] = round(bench_roadway_throughput())
+        detail["roadway_fused_env_steps_per_s"] = round(
+            bench_roadway_fused())
         detail["train_chunk_env_steps_per_s"] = round(bench_train_chunk())
         print(json.dumps(detail), file=sys.stderr)
     print(json.dumps({
