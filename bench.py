@@ -188,6 +188,31 @@ def bench_roadway_fused(batch: int = 1 << 20, steps: int = 2048,
     return batch * steps * reps / (time.time() - t0)
 
 
+def bench_particle_fused(batch: int = 1 << 20, steps: int = 2048,
+                         reps: int = 3):
+    """Pallas fused particle rollout: SoA MPE physics in vector
+    registers, auto-reset, hardware PRNG policy
+    (cm3_tpu/ops/particle_rollout.py)."""
+    from cm3_tpu.core.config import ParticleEnvConfig
+    from cm3_tpu.ops import particle_rollout as pr
+
+    cfg = ParticleEnvConfig(prob_random=0.0, initial_std=0.0)
+
+    @jax.jit
+    def run(seed):
+        rew, ep = pr.rollout_prng(cfg, batch=batch, n_steps=steps,
+                                  seed=seed, sub=64)
+        return rew.sum(), ep.sum()
+
+    r, e = run(0)
+    float(r)
+    t0 = time.time()
+    for i in range(reps):
+        r, e = run(i + 1)
+        float(r)
+    return batch * steps * reps / (time.time() - t0)
+
+
 def bench_train_chunk(n_envs: int = 256, reps: int = 20):
     """Full off-policy chunk throughput (env steps + replay + CM3 updates):
     env-steps/s through the TRAINING path, stage-2 two-agent checkers."""
@@ -238,6 +263,8 @@ if __name__ == "__main__":
         detail["roadway_env_steps_per_s"] = round(bench_roadway_throughput())
         detail["roadway_fused_env_steps_per_s"] = round(
             bench_roadway_fused())
+        detail["particle_fused_env_steps_per_s"] = round(
+            bench_particle_fused())
         detail["train_chunk_env_steps_per_s"] = round(bench_train_chunk())
         print(json.dumps(detail), file=sys.stderr)
     print(json.dumps({
