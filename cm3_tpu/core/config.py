@@ -221,6 +221,15 @@ class TrainConfig:
     updates_per_chunk: int = 0
     save_threshold: Optional[float] = None
     dir_name: str = "try"
+    # TPU-native extension: training chunks executed per host sync.  With
+    # 1 (default) the driver reads the episode count after every chunk —
+    # one host round-trip per steps_per_train env steps, which dominates
+    # wall-clock on a remote/tunneled device.  With K>1 the driver scans
+    # K chunks inside one jit, decaying epsilon ON DEVICE from the live
+    # episode count (closer to the reference's per-episode decay than
+    # the host-side once-per-chunk update); eval/log cadence then
+    # quantizes to K-chunk groups.
+    chunks_per_sync: int = 1
 
     @property
     def epsilon_step(self) -> float:

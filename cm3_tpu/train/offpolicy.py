@@ -86,6 +86,29 @@ class OffPolicyDriver:
             self._chunk(ts, buf, rs, eps, key, False, False),
             donate_argnums=(1,))
         self._eval = jax.jit(self.evaluate, static_argnums=(2,))
+        # K training chunks per dispatch with ON-DEVICE epsilon decay:
+        # eliminates the per-chunk host sync (cfg.chunks_per_sync)
+        self._chunk_train_k = jax.jit(self._chunks_scanned,
+                                      static_argnums=(4,),
+                                      donate_argnums=(1,))
+
+    def _chunks_scanned(self, ts, buf, rs, key, k_chunks: int):
+        cfg = self.cfg
+
+        def one(carry, k):
+            ts, buf, rs = carry
+            eps = jnp.maximum(
+                cfg.epsilon_end,
+                cfg.epsilon_start - jnp.maximum(
+                    0, rs.episodes - cfg.pretrain_episodes).astype(jnp.float32)
+                * cfg.epsilon_step)
+            ts, buf, rs, metrics = self._chunk(ts, buf, rs, eps, k,
+                                               True, False)
+            return (ts, buf, rs), metrics
+
+        (ts, buf, rs), ms = jax.lax.scan(
+            one, (ts, buf, rs), jax.random.split(key, k_chunks))
+        return ts, buf, rs, jax.tree_util.tree_map(lambda m: m[-1], ms)
 
     # -------------------------------------------------------------- #
 
@@ -265,7 +288,11 @@ class OffPolicyDriver:
                 pretrain, fn = True, self._chunk_warm       # resume warm-up
             else:
                 pretrain, fn = False, self._chunk_train
-            ts_alg, buf, rs, metrics = fn(ts_alg, buf, rs, epsilon, k)
+            if not pretrain and cfg.chunks_per_sync > 1:
+                ts_alg, buf, rs, metrics = self._chunk_train_k(
+                    ts_alg, buf, rs, k, cfg.chunks_per_sync)
+            else:
+                ts_alg, buf, rs, metrics = fn(ts_alg, buf, rs, epsilon, k)
             chunk_idx += 1
             episodes_done = int(rs.episodes)  # one host sync per chunk
             if not pretrain:

@@ -65,3 +65,25 @@ def test_driver_short_run_improves_over_random():
     assert len(stats["history"]) >= 1
     # epsilon decayed
     assert stats["epsilon"] < cfg.epsilon_start
+
+
+def test_chunks_per_sync_scanned_path():
+    """chunks_per_sync>1 runs K chunks per dispatch with on-device
+    epsilon decay; schedule and learning signals stay sane."""
+    import dataclasses
+
+    env, alg, cfg, hooks, driver = _setup()
+    cfg = dataclasses.replace(cfg, chunks_per_sync=4)
+    driver = OffPolicyDriver(hooks, alg, cfg)
+    key = jax.random.PRNGKey(0)
+    rs = init_rollout(hooks, key, cfg.n_envs)
+    ts = alg.init_state(jax.random.PRNGKey(1), rs.obs, rs.state, rs.goals)
+    ts, stats = driver.run(ts, key, n_episodes=400)
+    assert stats["episodes"] >= 400
+    # epsilon decayed on device past the pretrain threshold
+    expected = max(cfg.epsilon_end, cfg.epsilon_start
+                   - (stats["episodes"] - cfg.pretrain_episodes)
+                   * cfg.epsilon_step)
+    assert abs(stats["epsilon"] - expected) < cfg.epsilon_step * \
+        cfg.chunks_per_sync * cfg.n_envs * 5
+    assert len(stats["history"]) >= 1
