@@ -157,3 +157,41 @@ def test_qmix_learns_simple_signal():
     a = alg.act(ts, batch["obs"], batch["goals"], None, 0.0,
                 jax.random.PRNGKey(9))
     assert float((a == 2).mean()) > 0.8
+
+
+def test_qmix_and_coma_roadway_update():
+    """The roadway variants of QMIX / COMA execute a fused update with
+    finite losses and produce valid actions (the reference ran these
+    algs on the SUMO experiment: alg_qmix.py / alg_baseline.py)."""
+    from cm3_tpu.core.config import RoadwayEnvConfig
+    from cm3_tpu.envs.roadway import Roadway
+
+    env = Roadway(RoadwayEnvConfig())
+    B, n = 4, 2
+    goals = jnp.tile(jnp.eye(4)[None, (3, 0), :], (B, 1, 1))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+    st, ts_env = jax.vmap(lambda k: env.reset(k))(keys)
+    st2, ts_env2 = jax.vmap(env.step)(st, jnp.ones((B, n), jnp.int32))
+    batch = {
+        "obs": ts_env.obs, "obs_next": ts_env2.obs,
+        "state": ts_env.state, "state_next": ts_env2.state,
+        "a": jnp.ones((B, n), jnp.int32),
+        "a_prev": jnp.zeros((B, n), jnp.int32),
+        "r": ts_env2.reward, "rl": ts_env2.reward_local,
+        "done": ts_env2.done, "goals": goals,
+    }
+    for alg, key_metric in [
+            (QMIX("roadway", env.spec(),
+                  AlgConfig(alg_name="qmix", n_agents=n, stage=2),
+                  NNConfig()), "loss_mixer"),
+            (Baseline("roadway", env.spec(),
+                      AlgConfig(n_agents=n, stage=2, use_Q=True),
+                      NNConfig()), "loss_Q")]:
+        ts = alg.init_state(jax.random.PRNGKey(0), batch["obs"],
+                            batch["state"], goals)
+        ts2, m = jax.jit(alg.update)(ts, batch, 0.2, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m[key_metric])), (type(alg).__name__, m)
+        a = alg.act(ts2, ts_env.obs, goals, batch["a_prev"], 0.2,
+                    jax.random.PRNGKey(2))
+        assert a.shape == (B, n)
+        assert bool(((a >= 0) & (a < 5)).all())
