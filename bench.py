@@ -303,24 +303,42 @@ def bench_train_multiseed(n_seeds: int = 16, n_envs: int = 256,
     return s * n_envs * cfg.steps_per_train * reps / (time.time() - t0)
 
 
+_DETAIL = {
+    "checkers_grid_env_steps_per_s": bench_checkers_throughput,
+    "particle_env_steps_per_s": bench_particle_throughput,
+    "roadway_env_steps_per_s": bench_roadway_throughput,
+    "roadway_fused_env_steps_per_s": bench_roadway_fused,
+    "particle_fused_env_steps_per_s": bench_particle_fused,
+    "train_chunk_env_steps_per_s": bench_train_chunk,
+    "train_multiseed_env_steps_per_s": bench_train_multiseed,
+}
+
+
 if __name__ == "__main__":
+    import subprocess
     import sys
+
+    if "--one" in sys.argv:
+        # isolated child: one detail benchmark, fresh process
+        name = sys.argv[sys.argv.index("--one") + 1]
+        print(json.dumps({name: round(_DETAIL[name]())}))
+        sys.exit(0)
 
     value = bench_checkers_fused()
     detail = {"checkers_fused_env_steps_per_s": round(value)}
     if "--full" in sys.argv:
-        detail["checkers_grid_env_steps_per_s"] = round(
-            bench_checkers_throughput())
-        detail["particle_env_steps_per_s"] = round(
-            bench_particle_throughput())
-        detail["roadway_env_steps_per_s"] = round(bench_roadway_throughput())
-        detail["roadway_fused_env_steps_per_s"] = round(
-            bench_roadway_fused())
-        detail["particle_fused_env_steps_per_s"] = round(
-            bench_particle_fused())
-        detail["train_chunk_env_steps_per_s"] = round(bench_train_chunk())
-        detail["train_multiseed_env_steps_per_s"] = round(
-            bench_train_multiseed())
+        # each detail bench runs in its own subprocess: long-lived heavy
+        # kernels degrade subsequent dispatch latency on the remote
+        # backend ~100x (observed on train_multiseed after the 1M-batch
+        # fused benches), so measurements must not share a process
+        for name in _DETAIL:
+            out = subprocess.run(
+                [sys.executable, __file__, "--one", name],
+                capture_output=True, text=True, timeout=1200)
+            try:
+                detail.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            except (IndexError, ValueError):
+                detail[name] = None
         print(json.dumps(detail), file=sys.stderr)
     print(json.dumps({
         "metric": "checkers_env_steps_per_s",
