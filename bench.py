@@ -74,18 +74,22 @@ def bench_checkers_throughput(batch: int = 8192, steps: int = 256,
                 lambda r, s: jnp.where(
                     ts.done.reshape((-1,) + (1,) * (s.ndim - 1)), r, s),
                 reset_state, st)
-            return st, ts.reward
+            # keep observation construction LIVE (a random policy never
+            # reads obs, so XLA would dead-code it otherwise)
+            obs_sum = (ts.obs["self_t"].sum() + ts.obs["self_v"].sum()
+                       + ts.obs["others"].sum())
+            return st, ts.reward.sum() + obs_sum
         st, rew = jax.lax.scan(body, state, jax.random.split(key, steps))
         return st, rew.sum()
 
     # warmup/compile
-    state, _ = rollout(state, jax.random.PRNGKey(0))
-    jax.block_until_ready(state)
+    state, r = rollout(state, jax.random.PRNGKey(0))
+    float(r)
 
     t0 = time.time()
     for i in range(reps):
         state, r = rollout(state, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(state)
+        float(r)
     dt = time.time() - t0
     return batch * steps * reps / dt
 
@@ -115,16 +119,19 @@ def bench_particle_throughput(batch: int = 8192, steps: int = 256,
                 lambda a, b: jnp.where(
                     ts.done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
                 st2, st)
-            return st, ts.reward
+            # keep observation construction LIVE (a random policy never
+            # reads obs, so XLA would dead-code it otherwise)
+            obs_sum = ts.obs["self_v"].sum() + ts.obs["others"].sum()
+            return st, ts.reward + obs_sum
         st, rew = jax.lax.scan(body, state, jax.random.split(key, steps))
         return st, rew.sum()
 
-    state, _ = rollout(state, jax.random.PRNGKey(0))
-    jax.block_until_ready(state)
+    state, r = rollout(state, jax.random.PRNGKey(0))
+    float(r)
     t0 = time.time()
     for i in range(reps):
         state, r = rollout(state, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(state)
+        float(r)
     return batch * steps * reps / (time.time() - t0)
 
 
@@ -150,16 +157,17 @@ def bench_roadway_throughput(batch: int = 8192, steps: int = 128,
                 lambda a, b: jnp.where(
                     ts.done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
                 st2, st)
-            return st, ts.reward
+            obs_sum = ts.obs["self_t"].sum() + ts.obs["self_v"].sum()
+            return st, ts.reward + obs_sum
         st, rew = jax.lax.scan(body, state, jax.random.split(key, steps))
         return st, rew.sum()
 
-    state, _ = rollout(state, jax.random.PRNGKey(0))
-    jax.block_until_ready(state)
+    state, r = rollout(state, jax.random.PRNGKey(0))
+    float(r)
     t0 = time.time()
     for i in range(reps):
         state, r = rollout(state, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(state)
+        float(r)
     return batch * steps * reps / (time.time() - t0)
 
 

@@ -208,17 +208,26 @@ class Checkers(base.Env):
         c = self.cfg
         k = c.n_obs
 
-        def one(idx):
-            r, cc = state.loc[idx, 0], state.loc[idx, 1]
-            grid = jax.lax.dynamic_slice(
-                state.world, (r - k, cc - k, 0), (2 * k + 1, 2 * k + 1, 3))
-            grid = grid.at[k, k, 2].set(0.0)  # own cell valid (get_obs:107)
-            vec = jnp.concatenate(
-                [self._normalize(state.loc[idx]),
-                 state.collected[idx] / (c.max_collectible / 2.0)])
-            return grid, vec
-
-        grids, vecs = jax.vmap(one)(jnp.arange(c.n_agents))
+        # Egocentric (2k+1)^2 crop around each agent.  A dynamic_slice with
+        # traced starts lowers to batched gathers (~3M steps/s); einsum
+        # lowers to heavily padded tiny dot_generals (~10M).  The grid is
+        # tiny, so select rows/cols with one-hot masks as explicit
+        # broadcast-multiply + reduce, which stays fused on the VPU
+        # (~27M crop-steps/s measured at B=8192).  The n_obs padding ring
+        # guarantees r±k / c±k stay in range.
+        span = jnp.arange(2 * k + 1)
+        sel_r = jax.nn.one_hot(state.loc[:, 0, None] - k + span[None],
+                               c.total_rows)             # [N, 2k+1, R]
+        sel_c = jax.nn.one_hot(state.loc[:, 1, None] - k + span[None],
+                               c.total_columns)          # [N, 2k+1, C]
+        rows = (sel_r[..., None, None]
+                * state.world[None, None]).sum(2)        # [N, 2k+1, C, 3]
+        grids = (rows[:, :, None]
+                 * sel_c[:, None, :, :, None]).sum(3)    # [N, 2k+1, 2k+1, 3]
+        grids = grids.at[:, k, k, 2].set(0.0)  # own cell valid (get_obs:107)
+        vecs = jnp.concatenate(
+            [self._normalize(state.loc),
+             state.collected / (c.max_collectible / 2.0)], axis=-1)
 
         if c.n_agents == 1:
             others = self._normalize(state.loc)  # own loc placeholder

@@ -1,0 +1,141 @@
+"""Reproduce the reference's experiment matrix end-to-end on one chip.
+
+Runs, with the reference's training budgets and schedule semantics
+(50k episodes, eps 0.5->0.05, periodic greedy eval — ``alg/config.json``
++ stage configs), the full two-stage CM3 curriculum on every
+environment:
+
+  * Checkers   stage 1 (1 agent)  -> stage 2 (2 agents, Q_credit graft)
+  * Particle   stage 1 (1 agent)  -> stage 2 antipodal (on-policy regime)
+  * Roadway    stage 1 (1 car)    -> stage 2 (2 cars)
+
+and writes runs/reproduce/RESULTS.md with wall-clock + learning-gate
+outcomes (gates per BASELINE.md: checkers summed eval > 9.0, roadway
+per-agent eval > 9.5 / both > save_threshold at stage 2, particle
+reach-rate).  The reference needs ~days of single-process CPU per cell;
+each cell here is minutes on one TPU chip.
+
+    python scripts/reproduce_paper.py [--episodes N] [--cells a,b,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cm3_tpu.train import runner  # noqa: E402
+
+cfgmod = runner.cfgmod
+
+WORKDIR = "runs/reproduce"
+
+
+def run_cell(name: str, overrides: dict, n_episodes=None):
+    m = cfgmod.load_json("master.json")
+    m.update(overrides)
+    t0 = time.time()
+    ts, stats = runner.train_function(m, workdir=WORKDIR,
+                                      n_episodes=n_episodes, verbose=False)
+    minutes = (time.time() - t0) / 60
+    hist = stats["history"]
+    glob = [float(r["r_eval_global"]) for r in hist]
+    last_loc = hist[-1]["r_eval_local"] if hist else None
+    return dict(cell=name, minutes=round(minutes, 2),
+                episodes=stats["episodes"],
+                final_eval_global=round(glob[-1], 3) if glob else None,
+                best_eval_global=round(max(glob), 3) if glob else None,
+                final_eval_local=[round(float(v), 3) for v in last_loc]
+                if last_loc is not None else None)
+
+
+def cells(episodes):
+    e = episodes
+    return {
+        "checkers_s1": dict(experiment="checkers", stage=1, n_envs=256,
+                            dir_name="ck_s1", N_train=e, period=max(e // 50, 1),
+                            N_eval=32, seed=12341),
+        "checkers_s2": dict(experiment="checkers", stage=2, n_envs=256,
+                            dir_name="ck_s2", dir_restore="ck_s1",
+                            train_from_nothing=0, N_train=e,
+                            period=max(e // 50, 1), N_eval=32, seed=12341),
+        "particle_s1": dict(experiment="particle", scenario="stage1",
+                            stage=1, n_envs=256, dir_name="pt_s1", N_train=e,
+                            period=max(e // 50, 1), N_eval=32, seed=12341),
+        "particle_s2": dict(experiment="particle",
+                            scenario="stage2_antipodal", stage=2,
+                            n_envs=256, dir_name="pt_s2", dir_restore="pt_s1",
+                            train_from_nothing=0, N_train=e,
+                            period=max(e // 50, 1), N_eval=32, seed=12341),
+        "roadway_s1": dict(experiment="roadway", stage=1, n_envs=256,
+                           dir_name="rd_s1", N_train=e,
+                           period=max(e // 50, 1), N_eval=32, seed=12341),
+        "roadway_s2": dict(experiment="roadway", stage=2, n_envs=256,
+                           dir_name="rd_s2", dir_restore="rd_s1",
+                           train_from_nothing=0, N_train=e,
+                           period=max(e // 50, 1), N_eval=32, seed=12341),
+    }
+
+
+GATES = {
+    "checkers_s1": ("sum(final_eval_local) > 9.0 (train_offpolicy.py:397)",
+                    lambda r: sum(r["final_eval_local"] or [0]) > 9.0),
+    "checkers_s2": ("sum(final_eval_local) > 9.0 two-agent",
+                    lambda r: sum(r["final_eval_local"] or [0]) > 9.0),
+    "particle_s1": ("final eval global > -1 (near-zero distance cost)",
+                    lambda r: (r["final_eval_global"] or -99) > -1.0),
+    "particle_s2": ("final eval global > -2 (two agents)",
+                    lambda r: (r["final_eval_global"] or -99) > -2.0),
+    "roadway_s1": ("per-agent eval > 9.5 (config_sumo_stage1.json:14)",
+                   lambda r: all(v > 9.5 for v in
+                                 (r["final_eval_local"] or [0]))),
+    "roadway_s2": ("both agents eval > 9.5 (goal-reach, no crash)",
+                   lambda r: all(v > 9.5 for v in
+                                 (r["final_eval_local"] or [0]))),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--episodes", type=int, default=50000)
+    ap.add_argument("--cells", default=None,
+                    help="comma-separated subset of cells")
+    args = ap.parse_args()
+
+    os.makedirs(WORKDIR, exist_ok=True)
+    todo = cells(args.episodes)
+    if args.cells:
+        want = args.cells.split(",")
+        todo = {k: v for k, v in todo.items() if k in want}
+
+    rows = []
+    for name, overrides in todo.items():
+        print(f"[{name}] ...", flush=True)
+        r = run_cell(name, overrides, n_episodes=args.episodes)
+        desc, fn = GATES[name]
+        r["gate"] = desc
+        r["passed"] = bool(fn(r))
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    with open(os.path.join(WORKDIR, "RESULTS.md"), "w") as f:
+        f.write("# Paper-matrix reproduction (one TPU v5e chip)\n\n"
+                f"Budget: {args.episodes} episodes per cell "
+                "(the reference default, alg/config.json:44).\n\n"
+                "| cell | minutes | episodes | eval local (final) | "
+                "eval global (final/best) | gate | passed |\n"
+                "|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['cell']} | {r['minutes']} | {r['episodes']} | "
+                    f"{r['final_eval_local']} | {r['final_eval_global']} / "
+                    f"{r['best_eval_global']} | {r['gate']} | "
+                    f"{'PASS' if r['passed'] else 'FAIL'} |\n")
+    print(f"wrote {WORKDIR}/RESULTS.md")
+
+
+if __name__ == "__main__":
+    main()
