@@ -120,6 +120,34 @@ def add_episode(state: DualReplayState, transitions, valid, is_bad
     return DualReplayState(bad=bad, good=good)
 
 
+def flush_episodes(state: DualReplayState, stage, valid, is_bad
+                   ) -> DualReplayState:
+    """Batched episode routing for lockstep-vectorized rollouts: flush
+    E staged episodes at once (stage leaves [E, T, ...], ``valid`` [E, T]
+    bool marking the real transitions of episodes that just terminated,
+    ``is_bad`` [E] bool).  Rows land densely in (env, t) order — the
+    per-episode equivalent of ``replay_buffer_dual.py:14-24`` applied to
+    every instance whose episode ended this step."""
+    e, t = valid.shape
+    flat = jax.tree_util.tree_map(
+        lambda x: x.reshape((e * t,) + x.shape[2:]), stage)
+    vflat = valid.reshape(e * t)
+    bflat = jnp.broadcast_to(is_bad[:, None], (e, t)).reshape(e * t)
+    return DualReplayState(
+        bad=add_batch(state.bad, flat, vflat & bflat),
+        good=add_batch(state.good, flat, vflat & ~bflat))
+
+
+def reset_dual(state: DualReplayState) -> DualReplayState:
+    """Empty both memories (the on-policy burst discard,
+    train_onpolicy.py:372-377).  Each cursor gets its OWN zero array —
+    sharing one buffer across fields breaks donation (the same device
+    buffer may not be donated twice)."""
+    return DualReplayState(
+        bad=state.bad.replace(insert=jnp.int32(0), size=jnp.int32(0)),
+        good=state.good.replace(insert=jnp.int32(0), size=jnp.int32(0)))
+
+
 def sample_dual(state: DualReplayState, key, batch_size: int):
     """50/50 mix with fallback proportions (replay_buffer_dual.py:39-63)."""
     half = batch_size // 2

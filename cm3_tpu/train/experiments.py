@@ -30,8 +30,17 @@ class Hooks:
         """-> (env_state, timestep, goals [N, l_goal])"""
         raise NotImplementedError
 
-    def is_bad_episode(self, ep_return_local, collided):
-        """Dual-buffer routing (train_offpolicy.py:370-374)."""
+    # dual-buffer routing threshold (reference master config "threshold";
+    # only the roadway/SUMO predicate uses it)
+    threshold: float = 16.0
+
+    def is_bad_episode(self, env_state, ep_return_local):
+        """Dual-buffer routing predicate, evaluated per env instance on
+        the POST-step (pre-reset) env state and the episode's accumulated
+        local returns (train_offpolicy.py:370-374).  The reference only
+        routes sumo/particle episodes; everything else lands in the
+        "good" memory (checkers episodes are silently never added there —
+        a latent reference bug we do not preserve)."""
         return jnp.bool_(False)
 
 
@@ -74,8 +83,11 @@ class ParticleHooks(Hooks):
         state, ts = self.env.reset(key, None)
         return state, ts, state.landmarks
 
-    def is_bad_episode(self, ep_return_local, collided):
-        return collided
+    def is_bad_episode(self, env_state, ep_return_local):
+        # scenario.collisions != 0 (train_offpolicy.py:373-374); the env
+        # state's counter is cumulative over the episode and cleared on
+        # reset, exactly the scenario attribute the reference reads
+        return env_state.collisions != 0
 
 
 class RoadwayHooks(Hooks):
@@ -105,11 +117,13 @@ class RoadwayHooks(Hooks):
                                                goal_lanes=goal_lanes))
         return state, ts, goals
 
-    def is_bad_episode(self, ep_return_local, collided):
+    def is_bad_episode(self, env_state, ep_return_local):
         # sum(r_local) < threshold (train_offpolicy.py:372)
-        return jnp.sum(ep_return_local) < 16.0
+        return jnp.sum(ep_return_local) < self.threshold
 
 
-def make_hooks(experiment: str, env) -> Hooks:
-    return {"checkers": CheckersHooks, "particle": ParticleHooks,
-            "roadway": RoadwayHooks}[experiment](env)
+def make_hooks(experiment: str, env, threshold: float = 16.0) -> Hooks:
+    hooks = {"checkers": CheckersHooks, "particle": ParticleHooks,
+             "roadway": RoadwayHooks}[experiment](env)
+    hooks.threshold = threshold
+    return hooks

@@ -28,7 +28,7 @@ import numpy as np
 
 from cm3_tpu.core import prng
 from cm3_tpu.replay import buffer as replay
-from cm3_tpu.train.offpolicy import OffPolicyDriver, init_rollout
+from cm3_tpu.train.offpolicy import OffPolicyDriver, init_rollout, init_stage
 
 
 def _eps_schedule(cfg, episodes):
@@ -63,7 +63,12 @@ def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
     tr = driver._transition(rs0, jnp.zeros((cfg.n_envs, hooks.n_agents),
                                            jnp.int32), dummy_ts, None)
     example = jax.tree_util.tree_map(lambda x: x[0], tr)
-    buf1 = replay.init(example, cfg.buffer_size)
+    if cfg.dual_buffer:
+        buf1 = replay.init_dual(example, cfg.buffer_size)
+        rs = jax.vmap(lambda r: init_stage(r, example, cfg.n_envs,
+                                           cfg.max_steps))(rs)
+    else:
+        buf1 = replay.init(example, cfg.buffer_size)
     buf = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (s,) + x.shape).copy()
         if hasattr(x, "shape") else x, buf1)

@@ -40,11 +40,17 @@ class RolloutState:
     a_prev: jax.Array         # [E, N]
     ep_ret_local: jax.Array   # [E, N]
     ep_ret_global: jax.Array  # [E]
-    collided: jax.Array       # [E] bool (dual-buffer routing)
     # running century accumulators (reset by host each period)
     acc_ret_local: jax.Array  # [N]
     acc_ret_global: jax.Array
     episodes: jax.Array       # i32 completed episodes
+    # dual-buffer episode staging (None unless cfg.dual_buffer): each env
+    # instance accumulates its in-flight episode here; at auto-reset the
+    # completed episode is routed whole into the bad or good memory
+    # (the vectorized equivalent of the reference's per-episode
+    # buf_episode list, train_offpolicy.py:335-344,370-374)
+    stage: Any = None         # pytree, leaves [E, T_max, ...]
+    stage_t: Any = None       # [E] i32 current episode length
 
 
 def init_rollout(hooks: Hooks, key, n_envs: int) -> RolloutState:
@@ -56,9 +62,19 @@ def init_rollout(hooks: Hooks, key, n_envs: int) -> RolloutState:
         a_prev=jnp.zeros((n_envs, n), jnp.int32),
         ep_ret_local=jnp.zeros((n_envs, n)),
         ep_ret_global=jnp.zeros(n_envs),
-        collided=jnp.zeros(n_envs, bool),
         acc_ret_local=jnp.zeros(n), acc_ret_global=jnp.float32(0.0),
         episodes=jnp.int32(0))
+
+
+def init_stage(rs: RolloutState, example_transition, n_envs: int,
+               max_steps: int) -> RolloutState:
+    """Attach the dual-buffer staging slab ([E, T_max] per transition
+    leaf) to a rollout state."""
+    stage = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((n_envs, max_steps) + jnp.shape(x),
+                            jnp.asarray(x).dtype),
+        example_transition)
+    return rs.replace(stage=stage, stage_t=jnp.zeros(n_envs, jnp.int32))
 
 
 class OffPolicyDriver:
@@ -146,11 +162,32 @@ class OffPolicyDriver:
         env_state2, ts2 = jax.vmap(env.step)(rs.env_state, actions)
 
         tr = self._transition(rs, actions, ts2, None)
-        buf = replay.add_batch(buf, tr)
-
         done = ts2.done
         ep_ret_local = rs.ep_ret_local + ts2.reward_local
         ep_ret_global = rs.ep_ret_global + ts2.reward
+
+        stage, stage_t = rs.stage, rs.stage_t
+        if self.cfg.dual_buffer:
+            # stage the transition at [env, episode_step]; episodes are
+            # capped at max_steps so the slab never overflows (writes past
+            # the slab are dropped defensively)
+            t_max = self.cfg.max_steps
+            e_idx = jnp.arange(e)
+            t_idx = jnp.minimum(stage_t, t_max)
+            stage = jax.tree_util.tree_map(
+                lambda s, r: s.at[e_idx, t_idx].set(r, mode="drop"),
+                stage, tr)
+            stage_len = jnp.minimum(stage_t + 1, t_max)
+            # route every episode that terminated this step, whole
+            # (train_offpolicy.py:370-374; routing predicate per
+            # experiment via hooks.is_bad_episode)
+            is_bad = jax.vmap(hooks.is_bad_episode)(env_state2, ep_ret_local)
+            valid = done[:, None] & (jnp.arange(t_max)[None, :]
+                                     < stage_len[:, None])
+            buf = replay.flush_episodes(buf, stage, valid, is_bad)
+            stage_t = jnp.where(done, 0, stage_len)
+        else:
+            buf = replay.add_batch(buf, tr)
 
         # auto-reset finished instances with fresh goals
         keys = prng.split_batch(k_reset, e)
@@ -166,10 +203,9 @@ class OffPolicyDriver:
         d = done.astype(jnp.float32)
         rs2 = rs.replace(
             env_state=env_state3, obs=obs3, state=state3, goals=goals3,
-            a_prev=a_prev3,
+            a_prev=a_prev3, stage=stage, stage_t=stage_t,
             ep_ret_local=ep_ret_local * (1.0 - d[:, None]),
             ep_ret_global=ep_ret_global * (1.0 - d),
-            collided=jnp.zeros_like(rs.collided),
             acc_ret_local=rs.acc_ret_local
             + jnp.sum(ep_ret_local * d[:, None], axis=0),
             acc_ret_global=rs.acc_ret_global + jnp.sum(ep_ret_global * d),
@@ -195,7 +231,11 @@ class OffPolicyDriver:
 
             def upd_body(ts_alg, k):
                 k_sample, k_update = jax.random.split(k)
-                batch = replay.sample(buf, k_sample, self.cfg.batch_size)
+                if self.cfg.dual_buffer:
+                    batch = replay.sample_dual(buf, k_sample,
+                                               self.cfg.batch_size)
+                else:
+                    batch = replay.sample(buf, k_sample, self.cfg.batch_size)
                 return self.alg.update(ts_alg, batch, epsilon, k_update)
 
             ts_alg, metrics = jax.lax.scan(
@@ -270,7 +310,12 @@ class OffPolicyDriver:
             tr = self._transition(rs, jnp.zeros((e, n), jnp.int32), dummy_ts,
                                   None)
             example_transition = jax.tree_util.tree_map(lambda x: x[0], tr)
-        buf = replay.init(example_transition, cfg.buffer_size)
+        if cfg.dual_buffer:
+            buf = replay.init_dual(example_transition, cfg.buffer_size)
+            rs = init_stage(rs, example_transition, self.n_envs,
+                            cfg.max_steps)
+        else:
+            buf = replay.init(example_transition, cfg.buffer_size)
 
         epsilon = max(cfg.epsilon_end, cfg.epsilon_start
                       - max(0, initial_episodes - cfg.pretrain_episodes)
@@ -319,6 +364,11 @@ class OffPolicyDriver:
                     / max(cfg.period, 1),
                     "duration_s": time.time() - t0,
                 }
+                if cfg.dual_buffer:
+                    # dual-memory occupancy (reference stdout print,
+                    # train_offpolicy.py:405-410)
+                    row["n_bad"] = int(buf.bad.size)
+                    row["n_good"] = int(buf.good.size)
                 row.update({k: float(v) for k, v in metrics.items()})
                 history.append(row)
                 if log_fn is not None:

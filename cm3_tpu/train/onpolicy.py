@@ -22,7 +22,7 @@ import numpy as np
 
 from cm3_tpu.core.config import TrainConfig
 from cm3_tpu.replay import buffer as replay
-from cm3_tpu.train.offpolicy import OffPolicyDriver, init_rollout
+from cm3_tpu.train.offpolicy import OffPolicyDriver, init_rollout, init_stage
 
 
 class OnPolicyDriver(OffPolicyDriver):
@@ -50,7 +50,10 @@ class OnPolicyDriver(OffPolicyDriver):
 
         def body(ts_alg, k):
             k_s, k_u = jax.random.split(k)
-            batch = replay.sample(buf, k_s, self.cfg.batch_size)
+            if self.cfg.dual_buffer:
+                batch = replay.sample_dual(buf, k_s, self.cfg.batch_size)
+            else:
+                batch = replay.sample(buf, k_s, self.cfg.batch_size)
             return self.alg.update(ts_alg, batch, epsilon, k_u)
 
         ts_alg, metrics = jax.lax.scan(
@@ -69,12 +72,17 @@ class OnPolicyDriver(OffPolicyDriver):
             rs.env_state, jnp.zeros((e, n), jnp.int32))[1]
         tr = self._transition(rs, jnp.zeros((e, n), jnp.int32), dummy_ts, None)
         example = jax.tree_util.tree_map(lambda x: x[0], tr)
-        buf = replay.init(example, cfg.buffer_size)
+        if cfg.dual_buffer:
+            buf = replay.init_dual(example, cfg.buffer_size)
+            rs = init_stage(rs, example, self.n_envs, cfg.max_steps)
+        else:
+            buf = replay.init(example, cfg.buffer_size)
 
         epsilon = cfg.epsilon_start
         episodes_done, last_train_eps, last_logged_period = 0, 0, 0
         chunk_idx = 0
         history = []
+        num_bad = num_good = 0  # cumulative routed counts (train_onpolicy.py:373-374)
         t_env = t_train = 0.0
         t0 = time.time()
         while episodes_done < n_episodes:
@@ -94,7 +102,12 @@ class OnPolicyDriver(OffPolicyDriver):
                 t_train += time.time() - tt
                 last_train_eps = episodes_done
                 # discard the on-policy buffer (train_onpolicy.py:372-377)
-                buf = buf.replace(insert=jnp.int32(0), size=jnp.int32(0))
+                if cfg.dual_buffer:
+                    num_bad += int(buf.bad.size)
+                    num_good += int(buf.good.size)
+                    buf = replay.reset_dual(buf)
+                else:
+                    buf = buf.replace(insert=jnp.int32(0), size=jnp.int32(0))
                 if epsilon > cfg.epsilon_end:
                     epsilon = max(cfg.epsilon_end, epsilon - cfg.epsilon_step)
 
@@ -116,6 +129,9 @@ class OnPolicyDriver(OffPolicyDriver):
                     "t_env": t_env, "t_train": t_train,
                     "duration_s": time.time() - t0,
                 }
+                if cfg.dual_buffer:
+                    row["n_bad"] = num_bad
+                    row["n_good"] = num_good
                 history.append(row)
                 if log_fn is not None:
                     log_fn(dict(row, _ts=ts_alg))

@@ -128,7 +128,7 @@ def build(master: Dict, experiment: Optional[str] = None,
     tc_kwargs["buffer_size"] = int(master.get("buffer_size", 2e4))
     train_cfg = cfgmod.TrainConfig(**tc_kwargs)
 
-    hooks = make_hooks(experiment, env)
+    hooks = make_hooks(experiment, env, threshold=train_cfg.threshold)
     onpolicy = (experiment == "particle" and alg_name in
                 ("cm3", "coma", "iac"))
     driver_cls = OnPolicyDriver if onpolicy else OffPolicyDriver
