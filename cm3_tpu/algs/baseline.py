@@ -262,7 +262,8 @@ class Baseline:
 
     # ------------------------------------------------------------------ #
 
-    def update(self, ts: BaselineState, batch: Dict[str, Any], epsilon, key):
+    def update(self, ts: BaselineState, batch: Dict[str, Any], epsilon, key,
+               with_grads: bool = False):
         cfg = self.cfg
         n = self.n_agents
         a_dim = self.n_actions
@@ -361,6 +362,14 @@ class Baseline:
                                                   ts.actor)
         actor_new = optax.apply_updates(ts.actor, upd_pi)
         metrics["policy_loss"] = loss_pi
+
+        if with_grads:
+            grads = {"Policy": g_pi}
+            if self.use_v:
+                grads["V"] = g_v
+            if self.use_q:
+                grads["Q"] = g_q
+            metrics["grads"] = grads
 
         tau = cfg.tau
         su = lambda t, m: None if m is None else common.soft_update(t, m, tau)

@@ -372,10 +372,16 @@ class CM3:
     # the fused learning update
     # ------------------------------------------------------------------ #
 
-    def update(self, ts: CM3State, batch: Dict[str, Any], epsilon, key):
+    def update(self, ts: CM3State, batch: Dict[str, Any], epsilon, key,
+               with_grads: bool = False):
         """One CM3 learning step.  batch fields are [B, ...] pytrees:
         state/obs (dicts), a [B,N] int, r [B], rl [B,N], state_next,
-        obs_next, done [B], goals [B,N,G], and (checkers) a_prev [B,N]."""
+        obs_next, done [B], goals [B,N,G], and (checkers) a_prev [B,N].
+
+        ``with_grads`` additionally returns the raw gradient pytrees in
+        ``metrics["grads"]`` for per-gradient histogram observability
+        (the reference's tf.summary.histogram(grad) loop,
+        alg_credit.py:384-403)."""
         cfg = self.cfg
         n = self.n_agents
         a_dim = self.n_actions
@@ -491,6 +497,14 @@ class CM3:
         upd_pi, opt_actor = self.opt_actor.update(g_pi, ts.opt_actor, ts.actor)
         actor_new = optax.apply_updates(ts.actor, upd_pi)
         metrics["policy_loss"] = loss_pi
+
+        if with_grads:
+            grads = {"Policy": g_pi, "Q_global": g_qg}
+            if self.use_credit:
+                grads["Q_credit"] = g_qc
+            if self.use_v:
+                grads["V"] = g_v
+            metrics["grads"] = grads
 
         # ---- soft target updates (:775) ----
         tau = cfg.tau

@@ -149,7 +149,8 @@ class QMIX:
 
     # ------------------------------------------------------------------ #
 
-    def update(self, ts: QmixState, batch: Dict[str, Any], epsilon, key):
+    def update(self, ts: QmixState, batch: Dict[str, Any], epsilon, key,
+               with_grads: bool = False):
         """One fused QMIX update (alg_qmix.py:338-378)."""
         del epsilon, key
         cfg = self.cfg
@@ -194,4 +195,7 @@ class QMIX:
             mixer=mixer_new,
             mixer_tgt=common.soft_update(ts.mixer_tgt, mixer_new, tau),
             opt=opt, step=ts.step + 1)
-        return new_ts, {"loss_mixer": loss}
+        metrics = {"loss_mixer": loss}
+        if with_grads:
+            metrics["grads"] = {"Agent": grads[0], "Mixer": grads[1]}
+        return new_ts, metrics

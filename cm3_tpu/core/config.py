@@ -221,6 +221,9 @@ class TrainConfig:
     updates_per_chunk: int = 0
     save_threshold: Optional[float] = None
     dir_name: str = "try"
+    # TensorBoard summaries incl. per-variable/per-gradient histograms
+    # (reference config.json:64 "summarize"; emission alg_credit.py:362-403)
+    summarize: bool = False
     # TPU-native extension: training chunks executed per host sync.  With
     # 1 (default) the driver reads the episode count after every chunk —
     # one host round-trip per steps_per_train env steps, which dominates

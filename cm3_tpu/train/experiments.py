@@ -43,6 +43,23 @@ class Hooks:
         a latent reference bug we do not preserve)."""
         return jnp.bool_(False)
 
+    # ---- eval-time auxiliary metrics (roadway traffic metrics; the
+    # reference computes them in multicar_simple.py:117-255 during SUMO
+    # eval rollouts) ----
+
+    def eval_metrics_init(self):
+        """-> dict of scalar accumulators threaded through the eval scan."""
+        return {}
+
+    def eval_metrics_step(self, acc, env_state, ts, alive):
+        """Accumulate one lockstep eval transition.  ``env_state``/``ts``
+        are post-step, ``alive`` [E] is the pre-step liveness mask."""
+        return acc
+
+    def eval_metrics_final(self, acc, n_eval: int):
+        """-> dict of scalar metrics for the eval row."""
+        return {}
+
 
 class CheckersHooks(Hooks):
     """Goals: random green/orange for n=1, identity for n>1
@@ -120,6 +137,35 @@ class RoadwayHooks(Hooks):
     def is_bad_episode(self, env_state, ep_return_local):
         # sum(r_local) < threshold (train_offpolicy.py:372)
         return jnp.sum(ep_return_local) < self.threshold
+
+    def eval_metrics_init(self):
+        z = jnp.float32(0.0)
+        return dict(speed_sum=z, speed_n=z, close=z, success=z)
+
+    def eval_metrics_step(self, acc, env_state, ts, alive):
+        """Traffic metrics over the eval rollouts: normalized average
+        speed (multicar_simple.py:158-166), close-follower pair count
+        (:170-225) summed per step, and merge-success count (:227-239)
+        snapshotted at episode end."""
+        m = alive.astype(jnp.float32)
+        speed = jax.vmap(self.env.avg_speed)(env_state)
+        close = jax.vmap(self.env.count_close)(env_state)
+        success = jax.vmap(self.env.count_success)(env_state)
+        done_now = (alive & ts.done).astype(jnp.float32)
+        return dict(
+            speed_sum=acc["speed_sum"] + jnp.sum(speed * m),
+            speed_n=acc["speed_n"] + jnp.sum(m),
+            close=acc["close"] + jnp.sum(close.astype(jnp.float32) * m),
+            success=acc["success"]
+            + jnp.sum(success.astype(jnp.float32) * done_now))
+
+    def eval_metrics_final(self, acc, n_eval: int):
+        return {
+            "eval_avg_speed": acc["speed_sum"]
+            / jnp.maximum(acc["speed_n"], 1.0),
+            "eval_count_close": acc["close"] / n_eval,
+            "eval_count_success": acc["success"] / n_eval,
+        }
 
 
 def make_hooks(experiment: str, env, threshold: float = 16.0) -> Hooks:

@@ -103,7 +103,7 @@ def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
             last_period = period_idx
             k_eval = jax.vmap(lambda kk: jax.random.fold_in(
                 kk, 10_000 + period_idx))(k_roll)
-            r_local, r_global, _act_dist = eval_v(ts, k_eval)
+            r_local, r_global, _eval_aux = eval_v(ts, k_eval)
             row = {
                 "episode": episodes.copy(),                 # [S]
                 "epsilon": _eps_schedule(cfg, episodes),    # [S]

@@ -107,6 +107,20 @@ class OffPolicyDriver:
         self._chunk_train_k = jax.jit(self._chunks_scanned,
                                       static_argnums=(4,),
                                       donate_argnums=(1,))
+        # gradient observability (cfg.summarize): one extra non-applied
+        # update on a fresh sample, returning the raw grad pytrees for
+        # per-gradient histograms (reference alg_credit.py:384-403)
+        self._grad_snap = jax.jit(self._grad_snapshot)
+
+    def _grad_snapshot(self, ts_alg, buf, epsilon, key):
+        k_s, k_u = jax.random.split(key)
+        if self.cfg.dual_buffer:
+            batch = replay.sample_dual(buf, k_s, self.cfg.batch_size)
+        else:
+            batch = replay.sample(buf, k_s, self.cfg.batch_size)
+        _, metrics = self.alg.update(ts_alg, batch, epsilon, k_u,
+                                     with_grads=True)
+        return metrics["grads"]
 
     def _chunks_scanned(self, ts, buf, rs, key, k_chunks: int):
         cfg = self.cfg
@@ -248,9 +262,11 @@ class OffPolicyDriver:
 
     def evaluate(self, ts_alg, key, n_eval: int):
         """Greedy (eps=0) policy rollouts (alg/evaluate.py): returns
-        (mean per-agent return [N], mean global return, per-agent action
-        distribution [N, A] — the reference prints this for checkers,
-        evaluate.py:193-200)."""
+        (mean per-agent return [N], mean global return, aux dict).  The
+        aux dict carries "act_dist" — the per-agent action distribution
+        [N, A] the reference prints for checkers (evaluate.py:193-200) —
+        plus any experiment eval metrics (roadway traffic metrics via
+        hooks.eval_metrics_*, reference multicar_simple.py:117-255)."""
         hooks = self.eval_hooks
         env = hooks.env
         n = hooks.n_agents
@@ -261,7 +277,7 @@ class OffPolicyDriver:
         n_act = self.alg.n_actions
 
         def body(carry, k):
-            env_state, obs, a_prev, alive, ret_l, ret_g, acts = carry
+            env_state, obs, a_prev, alive, ret_l, ret_g, acts, acc = carry
             actions = self.alg.act(ts_alg, obs, goals, a_prev, 0.0, k)
             if hasattr(env, "check_actions"):
                 actions = jax.vmap(env.check_actions)(env_state, actions)
@@ -271,18 +287,21 @@ class OffPolicyDriver:
             ret_g = ret_g + ts2.reward * m
             acts = acts + jnp.sum(
                 jax.nn.one_hot(actions, n_act) * m[:, None, None], axis=0)
+            acc = hooks.eval_metrics_step(acc, env_state2, ts2, alive)
             alive2 = alive & ~ts2.done
             obs2 = ts2.obs
             return (env_state2, obs2, actions, alive2, ret_l, ret_g,
-                    acts), ()
+                    acts, acc), ()
 
         init = (env_state, ts.obs, jnp.zeros((n_eval, n), jnp.int32),
                 jnp.ones(n_eval, bool), jnp.zeros((n_eval, n)),
-                jnp.zeros(n_eval), jnp.zeros((n, n_act)))
-        (_, _, _, _, ret_l, ret_g, acts), _ = jax.lax.scan(
+                jnp.zeros(n_eval), jnp.zeros((n, n_act)),
+                hooks.eval_metrics_init())
+        (_, _, _, _, ret_l, ret_g, acts, acc), _ = jax.lax.scan(
             body, init, jax.random.split(key, max_steps))
         act_dist = acts / jnp.maximum(jnp.sum(acts, -1, keepdims=True), 1.0)
-        return jnp.mean(ret_l, axis=0), jnp.mean(ret_g), act_dist
+        aux = dict(hooks.eval_metrics_final(acc, n_eval), act_dist=act_dist)
+        return jnp.mean(ret_l, axis=0), jnp.mean(ret_g), aux
 
     # -------------------------------------------------------------- #
 
@@ -349,7 +368,7 @@ class OffPolicyDriver:
             period_idx = episodes_done // cfg.period
             if period_idx > last_logged_period:
                 last_logged_period = period_idx
-                r_eval_local, r_eval_global, act_dist = self._eval(
+                r_eval_local, r_eval_global, eval_aux = self._eval(
                     ts_alg, jax.random.fold_in(k_eval, period_idx),
                     cfg.N_eval)
                 row = {
@@ -357,7 +376,8 @@ class OffPolicyDriver:
                     "epsilon": epsilon,
                     "r_eval_local": np.asarray(r_eval_local),
                     "r_eval_global": float(r_eval_global),
-                    "eval_action_dist": np.asarray(act_dist).ravel(),
+                    "eval_action_dist":
+                    np.asarray(eval_aux["act_dist"]).ravel(),
                     "r_train_local": np.asarray(rs.acc_ret_local)
                     / max(cfg.period, 1),
                     "r_train_global": float(rs.acc_ret_global)
@@ -369,6 +389,12 @@ class OffPolicyDriver:
                     # train_offpolicy.py:405-410)
                     row["n_bad"] = int(buf.bad.size)
                     row["n_good"] = int(buf.good.size)
+                if cfg.summarize and not pretrain:
+                    row["_grads"] = self._grad_snap(
+                        ts_alg, buf, epsilon,
+                        jax.random.fold_in(k_eval, 1_000_000 + period_idx))
+                row.update({k: float(v) for k, v in eval_aux.items()
+                            if k != "act_dist"})
                 row.update({k: float(v) for k, v in metrics.items()})
                 history.append(row)
                 if log_fn is not None:

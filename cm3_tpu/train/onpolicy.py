@@ -114,14 +114,15 @@ class OnPolicyDriver(OffPolicyDriver):
             period_idx = episodes_done // cfg.period
             if period_idx > last_logged_period:
                 last_logged_period = period_idx
-                r_eval_local, r_eval_global, act_dist = self._eval(
+                r_eval_local, r_eval_global, eval_aux = self._eval(
                     ts_alg, jax.random.fold_in(k_eval, period_idx),
                     cfg.N_eval)
                 row = {
                     "episode": episodes_done, "epsilon": epsilon,
                     "r_eval_local": np.asarray(r_eval_local),
                     "r_eval_global": float(r_eval_global),
-                    "eval_action_dist": np.asarray(act_dist).ravel(),
+                    "eval_action_dist":
+                    np.asarray(eval_aux["act_dist"]).ravel(),
                     "r_train_local": np.asarray(rs.acc_ret_local)
                     / max(cfg.period, 1),
                     "r_train_global": float(rs.acc_ret_global)
@@ -132,6 +133,15 @@ class OnPolicyDriver(OffPolicyDriver):
                 if cfg.dual_buffer:
                     row["n_bad"] = num_bad
                     row["n_good"] = num_good
+                filled = ((int(buf.bad.size) + int(buf.good.size))
+                          if cfg.dual_buffer else int(buf.size))
+                if (cfg.summarize and filled > 0
+                        and episodes_done > cfg.pretrain_episodes):
+                    row["_grads"] = self._grad_snap(
+                        ts_alg, buf, epsilon,
+                        jax.random.fold_in(k_eval, 1_000_000 + period_idx))
+                row.update({k: float(v) for k, v in eval_aux.items()
+                            if k != "act_dist"})
                 history.append(row)
                 if log_fn is not None:
                     log_fn(dict(row, _ts=ts_alg))

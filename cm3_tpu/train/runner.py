@@ -215,6 +215,10 @@ def train_function(master: Dict, workdir: str = ".",
             for i, r in enumerate(np.asarray(row["r_eval_local"]).ravel()):
                 tb.scalar(f"r_eval_local/agent_{i}", float(r), step)
             tboard.log_train_state(tb, row["_ts"], step)
+            if "_grads" in row:
+                # per-gradient histograms (alg_credit.py:384-403)
+                tboard.log_train_state(tb, row["_grads"], step,
+                                       prefix="grads")
             tb.flush()
         # threshold-gated snapshots (train_offpolicy.py:391-398)
         r_eval = row["r_eval_local"]

@@ -189,3 +189,38 @@ def test_particle_onpolicy_dual_collision_routing():
     # the cumulative counters only grow via pre-discard snapshots
     assert row["n_bad"] + row["n_good"] > 0
     assert row["n_bad"] > 0
+
+
+def test_roadway_eval_rows_carry_traffic_metrics():
+    """Eval rows surface avg_speed / count_close / count_success
+    (reference multicar_simple.py:117-255)."""
+    from cm3_tpu.algs.cm3 import CM3
+    from cm3_tpu.envs.roadway import Roadway
+
+    env_cfg = RoadwayEnvConfig(
+        n_agents=2, goal_lane=(3, 0), goal_pos=(190.0, 190.0),
+        speed=(30.0, 30.0), lane=(1, 2), init_position=(0.0, 0.0),
+        depart_mean=(0.0, 0.0), depart_stdev=0.5, prob_random=0.2)
+    env = Roadway(env_cfg)
+    alg = CM3("roadway", env.spec(), AlgConfig(n_agents=2, stage=2))
+    cfg = TrainConfig(n_envs=4, batch_size=16, buffer_size=1024,
+                      pretrain_episodes=4, steps_per_train=10, period=16,
+                      N_eval=8, max_steps=env_cfg.max_step + 2,
+                      updates_per_chunk=1)
+    hooks = make_hooks("roadway", env)
+    driver = OffPolicyDriver(hooks, alg, cfg)
+
+    key = jax.random.PRNGKey(0)
+    rs = init_rollout(hooks, key, cfg.n_envs)
+    ts = alg.init_state(jax.random.PRNGKey(1), rs.obs, rs.state, rs.goals)
+
+    r_l, r_g, aux = driver._eval(ts, jax.random.PRNGKey(7), 8)
+    for k in ("eval_avg_speed", "eval_count_close", "eval_count_success"):
+        assert k in aux, aux.keys()
+        assert np.isfinite(float(aux[k]))
+    # normalized average speed of live cars is positive and sane
+    assert 0.0 < float(aux["eval_avg_speed"]) < 3.0
+
+    ts, stats = driver.run(ts, key, n_episodes=40)
+    row = stats["history"][-1]
+    assert "eval_avg_speed" in row and "eval_count_success" in row

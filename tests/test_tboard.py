@@ -75,3 +75,47 @@ def test_train_state_histograms(tmp_path):
     assert any("W1" in t for t in tags)
     assert any("b1" in t for t in tags)
     assert not any("step" in t for t in tags)      # int leaf skipped
+
+
+def test_grad_histograms(tmp_path):
+    """update(with_grads=True) exposes raw grad trees; the writer logs
+    them under grads/ (reference alg_credit.py:384-403)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cm3_tpu.algs.cm3 import CM3
+    from cm3_tpu.core.config import AlgConfig, CheckersEnvConfig, NNConfig
+    from cm3_tpu.envs.checkers import Checkers
+    from cm3_tpu.train.experiments import make_hooks
+    from cm3_tpu.train.offpolicy import init_rollout
+
+    env = Checkers(CheckersEnvConfig(n_columns=4, agents_r=(0,),
+                                     agents_c=(4,), n_agents=1,
+                                     max_steps=10))
+    alg = CM3("checkers", env.spec(), AlgConfig(n_agents=1, stage=1),
+              NNConfig(Q_n_h1_1=16, Q_n_h1_2=8, Q_n_h2=16, A_n_h1=16,
+                       A_n_h2=16))
+    hooks = make_hooks("checkers", env)
+    rs = init_rollout(hooks, jax.random.PRNGKey(0), 4)
+    ts = alg.init_state(jax.random.PRNGKey(1), rs.obs, rs.state, rs.goals)
+
+    batch = {
+        "obs": rs.obs, "state": rs.state,
+        "a": jnp.zeros((4, 1), jnp.int32),
+        "a_prev": jnp.zeros((4, 1), jnp.int32),
+        "r": jnp.zeros(4), "rl": jnp.zeros((4, 1)),
+        "obs_next": rs.obs, "state_next": rs.state,
+        "done": jnp.zeros(4, bool), "goals": rs.goals,
+    }
+    _, metrics = alg.update(ts, batch, 0.1, jax.random.PRNGKey(2),
+                            with_grads=True)
+    assert "grads" in metrics
+    assert set(metrics["grads"]) >= {"Policy", "Q_global"}
+
+    w = tboard.SummaryWriter(str(tmp_path))
+    tboard.log_train_state(w, metrics["grads"], step=5, prefix="grads")
+    w.close()
+    events = _load_events(str(tmp_path))[1:]
+    tags = {v.tag for e in events for v in e.summary.value}
+    assert any(t.startswith("grads/Policy") for t in tags)
+    assert any(t.startswith("grads/Q_global") for t in tags)
