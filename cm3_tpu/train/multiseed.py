@@ -37,13 +37,35 @@ def _eps_schedule(cfg, episodes):
                       cfg.epsilon_start - e * cfg.epsilon_step)
 
 
+def shard_seed_axis(tree, mesh, n_seeds: int, axis: str = "seed"):
+    """Place every leaf with a leading seed dim P(seed)-sharded over the
+    mesh, replicating the rest — the seed-axis-over-mesh mapping: each
+    device (or device group) trains its own replicas, with NO collectives
+    between seeds (they are independent by construction, so XLA lowers
+    this to purely local compute)."""
+    import jax.sharding as shd
+    data = shd.NamedSharding(mesh, shd.PartitionSpec(axis))
+    repl = shd.NamedSharding(mesh, shd.PartitionSpec())
+
+    def place(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_seeds:
+            return jax.device_put(x, data)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
                         n_episodes: Optional[int] = None,
-                        log_fn: Optional[Callable[[Dict], None]] = None):
+                        log_fn: Optional[Callable[[Dict], None]] = None,
+                        mesh=None):
     """Train ``n_seeds`` independent replicas in lockstep.  Returns
     (stacked TrainStates with a leading seed axis, per-period history).
 
-    ``log_fn`` receives one row per period with per-seed arrays."""
+    ``log_fn`` receives one row per period with per-seed arrays.
+    ``mesh``: optional 1-axis ("seed") jax.sharding.Mesh — shards the
+    seed axis over devices so a pod slice trains n_seeds x n_envs
+    replicas with zero cross-seed communication."""
     driver = OffPolicyDriver(hooks, alg, cfg)
     n_episodes = n_episodes or cfg.N_train
     s = n_seeds
@@ -72,6 +94,12 @@ def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
     buf = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (s,) + x.shape).copy()
         if hasattr(x, "shape") else x, buf1)
+
+    if mesh is not None:
+        ts = shard_seed_axis(ts, mesh, s)
+        rs = shard_seed_axis(rs, mesh, s)
+        buf = shard_seed_axis(buf, mesh, s)
+        k_roll = shard_seed_axis(k_roll, mesh, s)
 
     chunk_train = jax.jit(jax.vmap(
         lambda ts, buf, rs, eps, key:

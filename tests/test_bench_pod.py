@@ -5,6 +5,11 @@ The ``fused`` pod bench needs a real TPU (compiled Pallas); ``grid`` and
 mesh exactly as they would on a slice.
 """
 
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
+
 import sys
 
 import jax

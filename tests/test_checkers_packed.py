@@ -2,6 +2,11 @@
 (itself golden-tested against the reference in test_checkers_parity.py).
 Same action sequences => identical per-agent rewards and done flags."""
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -86,6 +86,7 @@ def test_trajectory_parity(n_agents, goals):
         assert done  # episodes must terminate within max_steps
 
 
+@pytest.mark.slow
 def test_vectorized_batch_consistency():
     """vmapped engine == loop over single instances."""
     cfg = CheckersEnvConfig(agents_r=(0, 2), agents_c=(8, 8), n_agents=2,

@@ -2,6 +2,11 @@
 the kernel must produce the same rewards/episode counts as the pure-JAX
 packed scan for identical action sequences."""
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

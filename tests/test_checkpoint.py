@@ -41,6 +41,7 @@ def _leaves_by_path(tree):
     return {tuple(str(k) for k in p): l for p, l in flat}
 
 
+@pytest.mark.slow
 def test_graft_copies_shared_and_keeps_stage2():
     alg1, ts1 = _init(stage=1, n_agents=1, key=11)
     alg2, ts2 = _init(stage=2, n_agents=2, key=22)

@@ -45,6 +45,7 @@ def _make_alg(n, stage, use_Q_credit=True, use_V=False):
     (2, 2, False, True),
     (2, 2, False, False),
 ])
+@pytest.mark.slow
 def test_update_runs_and_moves_targets(n, stage, use_qc, use_v):
     alg = _make_alg(n, stage, use_qc, use_v)
     batch = _particle_batch(jax.random.PRNGKey(0), 16, n, stage)
@@ -78,6 +79,7 @@ def test_update_runs_and_moves_targets(n, stage, use_qc, use_v):
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+@pytest.mark.slow
 def test_counterfactual_advantage_matches_reference_formula():
     """Check einsum layout against an explicit loop over (m, n) pairs."""
     n, b = 3, 4
@@ -106,6 +108,7 @@ def test_counterfactual_advantage_matches_reference_formula():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stage1_policy_gradient_direction():
     """With a single agent and a known-positive advantage on action k, a
     gradient step must increase pi(k)."""
@@ -127,6 +130,7 @@ def test_stage1_policy_gradient_direction():
     assert float(p1[:, 0, 2].mean()) > float(p0[:, 0, 2].mean())
 
 
+@pytest.mark.slow
 def test_checkers_experiment_update():
     cfg_env = CheckersEnvConfig(agents_r=(0, 2), agents_c=(8, 8), n_agents=2)
     env = Checkers(cfg_env)

@@ -1,6 +1,11 @@
 """End-to-end CM3 curriculum: stage-1 single-agent training -> stage-2
 graft -> two-agent training (SURVEY.md §7 build-order item 3)."""
 
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,6 +8,11 @@ vectorized drivers stage per-instance episode slabs and flush at
 auto-reset; these tests prove the routing is episode-exact.
 """
 
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
+
 import dataclasses
 
 import jax

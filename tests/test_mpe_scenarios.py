@@ -142,6 +142,7 @@ def test_scenario_differential(name):
                 err_msg=f"{name} seed={seed} t={t} vel")
 
 
+@pytest.mark.slow
 def test_env_wrapper_vectorized():
     """MPEEnv drives vectorized under vmap+jit for every scenario."""
     B = 8

@@ -3,6 +3,11 @@ devices run collectives and a sharded training chunk over one global
 8-device mesh (how multi-node is simulated without a pod —
 SURVEY.md §4)."""
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.multihost]
+
+
 import os
 import socket
 import subprocess

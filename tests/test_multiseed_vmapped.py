@@ -2,6 +2,11 @@
 jitted chunk; seeds produce distinct params/curves; per-seed epsilon
 schedules follow per-seed episode counts."""
 
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,3 +46,35 @@ def test_vmapped_seeds_train_and_differ():
     assert diff, "seed replicas did not diverge"
     # log_fn received the same rows
     assert len(rows) == len(history)
+
+
+def test_seed_axis_sharded_over_mesh_matches_unsharded():
+    """Seed-axis-over-mesh (multiseed.shard_seed_axis): 8 seeds sharded
+    over the 8-device mesh execute the same program as the unsharded
+    vmapped run — seeds are independent, so sharding must not change
+    the trajectory (episode counts exact, params near-identical)."""
+    from cm3_tpu.parallel.mesh import make_mesh
+
+    env = Checkers(CheckersEnvConfig(n_agents=2, agents_r=(0, 2),
+                                     agents_c=(8, 8), max_steps=50))
+    alg = CM3("checkers", env.spec(), AlgConfig(n_agents=2, stage=2))
+    cfg = TrainConfig(n_envs=8, batch_size=16, buffer_size=512,
+                      steps_per_train=4, updates_per_chunk=1,
+                      pretrain_episodes=4, period=10, N_eval=4,
+                      N_train=20)
+    hooks = make_hooks("checkers", env)
+    S = 8
+
+    ts_plain, hist_plain = train_vmapped_seeds(hooks, alg, cfg, n_seeds=S,
+                                               base_seed=7, n_episodes=20)
+    mesh = make_mesh(8, axis="seed")
+    ts_shard, hist_shard = train_vmapped_seeds(hooks, alg, cfg, n_seeds=S,
+                                               base_seed=7, n_episodes=20,
+                                               mesh=mesh)
+
+    np.testing.assert_array_equal(hist_plain[-1]["episode"],
+                                  hist_shard[-1]["episode"])
+    for a, b in zip(jax.tree_util.tree_leaves(ts_plain),
+                    jax.tree_util.tree_leaves(ts_shard)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

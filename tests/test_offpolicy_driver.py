@@ -6,6 +6,11 @@ Checkers and the greedy eval return moves well above the random-policy
 baseline (SURVEY.md §7 build order item 2).
 """
 
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,11 @@
 """On-policy driver integration: particle stage-1 CM3 learns to approach
 its landmark (reward = -distance, so less negative is better)."""
 
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

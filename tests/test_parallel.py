@@ -15,8 +15,9 @@ from cm3_tpu.replay import buffer as replay
 from cm3_tpu.train.experiments import make_hooks
 from cm3_tpu.train.offpolicy import OffPolicyDriver, init_rollout
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices"),
+              pytest.mark.slow]
 
 
 def _setup(n_envs):

@@ -4,6 +4,11 @@ Chain of evidence: Particle engine (parity-tested vs the reference MPE
 physics) == SoA dynamics == Pallas kernel (interpret mode on CPU).
 """
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -78,6 +78,7 @@ def test_baseline_update(use_Q, use_V, IAC):
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+@pytest.mark.slow
 def test_qmix_checkers_variant():
     env = Checkers(CheckersEnvConfig(agents_r=(0, 2), agents_c=(8, 8),
                                      n_agents=2))
@@ -130,6 +131,7 @@ def test_baseline_checkers_coma():
     assert np.isfinite(float(m["policy_loss"]))
 
 
+@pytest.mark.slow
 def test_qmix_learns_simple_signal():
     """One-step bandit check: identical states, action 2 pays +5/agent and
     action 0 pays -5/agent.  The state-conditioned hypernet bias cannot
@@ -159,6 +161,7 @@ def test_qmix_learns_simple_signal():
     assert float((a == 2).mean()) > 0.8
 
 
+@pytest.mark.slow
 def test_qmix_and_coma_roadway_update():
     """The roadway variants of QMIX / COMA execute a fused update with
     finite losses and produce valid actions (the reference ran these

@@ -1,5 +1,10 @@
 """Elastic resume + rendering tests."""
 
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
+
 import os
 
 import jax

@@ -83,6 +83,7 @@ def _jax_reset_no_depart(env, lanes, goal_lanes):
     return state, ts
 
 
+@pytest.mark.slow
 def test_goal_reach_reward():
     cfg = RoadwayEnvConfig(n_agents=1, goal_lane=(0,), goal_pos=(190.0,),
                            speed=(30.0,), lane=(0,), init_position=(0.0,),

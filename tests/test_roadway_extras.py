@@ -108,6 +108,7 @@ def test_occlusion_shadows_behind_leader():
     assert (got[back + 2:back + 4, 4] == 1.0).all()
 
 
+@pytest.mark.slow
 def test_occlusion_integrated_in_observe():
     cfg = dataclasses.replace(CFG, occlusion=True, depart_stdev=0.0,
                               n_agents=2, lane=(1, 1), goal_lane=(1, 1),

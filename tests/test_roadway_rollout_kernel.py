@@ -5,6 +5,11 @@ engine and carrying the reference citations) == SoA dynamics == Pallas
 kernel (interpret mode on CPU).
 """
 
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.kernel]
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,10 @@
 """End-to-end CM3 training on the roadway engine (stage 1)."""
 
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
+
 import jax
 import jax.numpy as jnp
 

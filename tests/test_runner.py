@@ -1,6 +1,11 @@
 """Config-driven runner tests: build matrix, full train_function with CSV
 logs + checkpoints, and the stage-1 -> stage-2 restore path."""
 
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
+
 import json
 import os
 

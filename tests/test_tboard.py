@@ -77,6 +77,7 @@ def test_train_state_histograms(tmp_path):
     assert not any("step" in t for t in tags)      # int leaf skipped
 
 
+@pytest.mark.slow
 def test_grad_histograms(tmp_path):
     """update(with_grads=True) exposes raw grad trees; the writer logs
     them under grads/ (reference alg_credit.py:384-403)."""
