@@ -106,6 +106,22 @@ class ParticleHooks(Hooks):
         # reset, exactly the scenario attribute the reference reads
         return env_state.collisions != 0
 
+    def eval_metrics_init(self):
+        z = jnp.float32(0.0)
+        return dict(reached=z, episodes=z)
+
+    def eval_metrics_step(self, acc, env_state, ts, alive):
+        """Goal-reach rate at episode end — the scenario's success
+        criterion (multi-goal_spread.py:126-129: dist <= 0.05)."""
+        done_now = (alive & ts.done).astype(jnp.float32)
+        frac = jnp.mean(env_state.reached.astype(jnp.float32), axis=-1)
+        return dict(reached=acc["reached"] + jnp.sum(frac * done_now),
+                    episodes=acc["episodes"] + jnp.sum(done_now))
+
+    def eval_metrics_final(self, acc, n_eval: int):
+        return {"eval_reach_rate": acc["reached"]
+                / jnp.maximum(acc["episodes"], 1.0)}
+
 
 class RoadwayHooks(Hooks):
     """Goal lane one-hot; with prob_random the initial lane and goal lane

@@ -163,9 +163,15 @@ def train_function(master: Dict, workdir: str = ".",
             ts = checkpoint.restore(restore_dir, ts)
         elif stage == 2:
             # rebuild the stage-1 TrainState structure to restore into,
-            # then graft the shared-architecture weights
+            # then graft the shared-architecture weights.  The stage-1
+            # model must be built with the STAGE-1 env config — an
+            # explicit stage-2 particle_config would otherwise leak into
+            # the rebuild and change the parameter structure (the
+            # reference selects by filename convention,
+            # train_offpolicy.py:91,115,122)
             m1 = dict(master)
             m1["stage"] = 1
+            m1.pop("particle_config", None)
             d1, alg1, hooks1, tc1 = build(m1)
             rs1 = init_rollout(hooks1, prng.for_purpose(key, prng.RESET),
                                tc1.n_envs)
