@@ -394,10 +394,24 @@ class CM3:
         rl = batch["rl"]
         metrics = {}
 
-        # ---- target-policy actions a' (alg_credit.py:579-583) ----
-        # checkers actor conditions on the previous action = current a
-        a_next = self.act(ts, obs_next, goals, batch["a"], epsilon, key,
-                          target=True)
+        # ---- target-policy actions a' (alg_credit.py:579-583) and the
+        # current-policy probs used inside the counterfactual sum
+        # (:725-729), evaluated as ONE stacked forward: same
+        # architecture, different (params, inputs) -> vmap over a
+        # leading [2] axis halves the sequential actor kernel chain.
+        # Both use pre-update parameter trees, so fusing them preserves
+        # the reference's update ordering.
+        # checkers target actor conditions on previous action = current a
+        stack2 = lambda a, b: jnp.stack([a, b])
+        ap_cur = batch.get("a_prev")
+        ap_cur = batch["a"] if ap_cur is None else ap_cur  # unused if no
+        p_pair = jax.tree_util.tree_map(stack2, ts.actor_tgt, ts.actor)
+        obs_pair = jax.tree_util.tree_map(stack2, obs_next, obs)
+        ap_pair = stack2(batch["a"], ap_cur)
+        probs_pair = jax.vmap(
+            lambda p, o, ap: self.actor_probs(p, o, goals, ap, epsilon))(
+            p_pair, obs_pair, ap_pair)
+        a_next = common.sample_actions(key, probs_pair[0])
         a_next_1h = common.one_hot(a_next, a_dim)
 
         # ---- Q_global critic update (:586-614) ----
@@ -456,10 +470,9 @@ class CM3:
 
         # ---- policy gradient (:699-773) ----
         # pi used inside the counterfactual sum: evaluated with the CURRENT
-        # actor and treated as a constant (it was a placeholder feed)
-        probs_const = jax.lax.stop_gradient(
-            self.actor_probs(ts.actor, obs, goals, batch.get("a_prev"),
-                             epsilon))
+        # actor and treated as a constant (it was a placeholder feed);
+        # computed above in the stacked actor forward
+        probs_const = jax.lax.stop_gradient(probs_pair[1])
 
         if n == 1:
             q_cf = jax.lax.stop_gradient(

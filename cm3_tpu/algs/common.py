@@ -55,8 +55,14 @@ def sample_actions(key, probs):
 
 
 def adam(lr: float) -> optax.GradientTransformation:
-    """TF1 AdamOptimizer defaults (beta1=.9, beta2=.999, eps=1e-8)."""
-    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    """TF1 AdamOptimizer defaults (beta1=.9, beta2=.999, eps=1e-8).
+
+    Wrapped in ``optax.flatten``: the update math is identical, but the
+    moment/update elementwise ops run over ONE concatenated vector per
+    network instead of per-leaf, collapsing ~2 fused kernels per leaf
+    per tree into a handful — the tiny-model learner is kernel-launch
+    bound, not FLOP bound (PERF.md single-seed analysis)."""
+    return optax.flatten(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8))
 
 
 def flatten_bn(x):

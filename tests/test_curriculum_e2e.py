@@ -42,6 +42,36 @@ def _driver(stage, n_agents, max_steps=20):
     return OffPolicyDriver(hooks, alg, cfg), alg, cfg, hooks
 
 
+def _eval_eps(driver, hooks, ts, key, n_eval, epsilon, n_steps=20):
+    """Stochastic-policy evaluation (mean global return over n_eval
+    instances at exploration rate epsilon).
+
+    The greedy evaluator is the WRONG transfer statistic here: checkers
+    resets are deterministic given goals, so 32 greedy eval episodes are
+    32 copies of ONE trajectory — a knife-edge number that flips whole
+    points when a single argmax changes.  Epsilon-noise averaging makes
+    the transfer margin continuous in policy quality."""
+    from cm3_tpu.core import prng
+
+    env = hooks.env
+    keys = prng.split_batch(key, n_eval)
+    env_state, tstep, goals = jax.vmap(hooks.episode_init)(keys)
+    n = hooks.n_agents
+
+    def body(carry, k):
+        env_state, obs, a_prev, alive, ret_g = carry
+        actions = driver.alg.act(ts, obs, goals, a_prev, epsilon, k)
+        env_state2, ts2 = jax.vmap(env.step)(env_state, actions)
+        ret_g = ret_g + ts2.reward * alive.astype(jnp.float32)
+        return (env_state2, ts2.obs, actions, alive & ~ts2.done, ret_g), ()
+
+    init = (env_state, tstep.obs, jnp.zeros((n_eval, n), jnp.int32),
+            jnp.ones(n_eval, bool), jnp.zeros(n_eval))
+    (_, _, _, _, ret_g), _ = jax.lax.scan(body, init,
+                                          jax.random.split(key, n_steps))
+    return float(jnp.mean(ret_g))
+
+
 def test_full_curriculum():
     key = jax.random.PRNGKey(0)
 
@@ -61,19 +91,17 @@ def test_full_curriculum():
                                 rs2.goals)
     ts2 = checkpoint.stage2_init_cm3(ts2_fresh, ts1.actor, ts1.qg)
 
-    # the grafted policy transfers: the 2-agent eval with the stage-1
-    # policy per agent should already beat a fresh random policy clearly
-    r_fresh_l, r_fresh, _ = d2._eval(ts2_fresh, jax.random.PRNGKey(8), 32)
-    r_graft_l, r_graft, _ = d2._eval(ts2, jax.random.PRNGKey(8), 32)
-    # (the tiny 3x4 test board makes two agents interfere heavily, so
-    # the transfer margin is modest but must be clearly positive)
-    assert float(r_graft) > float(r_fresh) + 0.3, (
-        f"graft did not transfer: fresh {float(r_fresh):.2f} vs "
-        f"grafted {float(r_graft):.2f}")
+    # the grafted policy transfers: the 2-agent stochastic eval with the
+    # stage-1 policy per agent must clearly beat a fresh random policy
+    r_fresh = _eval_eps(d2, hooks2, ts2_fresh, jax.random.PRNGKey(8), 64,
+                        0.2)
+    r_graft = _eval_eps(d2, hooks2, ts2, jax.random.PRNGKey(8), 64, 0.2)
+    assert r_graft > r_fresh + 0.5, (
+        f"graft did not transfer: fresh {r_fresh:.2f} vs "
+        f"grafted {r_graft:.2f}")
 
     # ---- stage 2 training continues to improve ----
     ts2, _ = d2.run(ts2, jax.random.PRNGKey(4), n_episodes=2500)
-    r_l2, r_g2, _ = d2._eval(ts2, jax.random.PRNGKey(8), 32)
-    assert float(r_g2) > float(r_graft), (
-        f"stage-2 training regressed: {float(r_graft):.2f} -> "
-        f"{float(r_g2):.2f}")
+    r_s2 = _eval_eps(d2, hooks2, ts2, jax.random.PRNGKey(8), 64, 0.2)
+    assert r_s2 > r_graft, (
+        f"stage-2 training regressed: {r_graft:.2f} -> {r_s2:.2f}")
