@@ -263,16 +263,80 @@ def train_multiseed(master: Dict, workdir: str = ".",
         from cm3_tpu.train.multiseed import train_vmapped_seeds
         driver, alg, hooks, train_cfg = build(master)
         n_seeds = master.get("n_seeds", 1)
-        ts, history = train_vmapped_seeds(
-            hooks, alg, train_cfg, n_seeds=n_seeds,
-            base_seed=master.get("seed", 12341), n_episodes=n_episodes)
+        experiment = master.get("experiment", "checkers")
+        stage = master.get("stage", 1)
         base_dir = master.get("dir_name", "try")
         start = master.get("dir_idx_start", 1)
+        onpolicy = isinstance(driver, OnPolicyDriver)
+
+        save_threshold = master.get("save_threshold")
+        if save_threshold is None and experiment == "roadway":
+            save_threshold = cfgmod.load_json(
+                f"roadway_stage{stage}.json")["save_threshold"]
+
+        # per-seed CSV/metrics streams, like one reference process each
+        loggers = [CSVLogger(os.path.join(workdir, "log",
+                                          f"{base_dir}_{start + i}"),
+                             hooks.n_agents) for i in range(n_seeds)]
+        save_dirs = [os.path.join(workdir, "saved",
+                                  f"{base_dir}_{start + i}")
+                     for i in range(n_seeds)]
+        for d in save_dirs:
+            os.makedirs(d, exist_ok=True)
+
+        # elastic resume of the WHOLE stacked sweep (one autosave holds
+        # all seeds; replay buffers warm up after restart, like the
+        # single-seed path)
+        autosave = os.path.join(workdir, "saved", f"{base_dir}_vmapped",
+                                "model_autosave")
+        resume = None
+        if master.get("auto_resume", 0) and os.path.isdir(autosave):
+            key0 = prng.root_key(master.get("seed", 12341))
+            rs0 = init_rollout(hooks, prng.for_purpose(key0, prng.RESET),
+                               train_cfg.n_envs)
+            ts0 = alg.init_state(prng.for_purpose(key0, prng.PARAMS),
+                                 rs0.obs, rs0.state, rs0.goals)
+            stacked0 = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(
+                    x[None], (n_seeds,) + x.shape).copy(), ts0)
+            restored = checkpoint.restore(
+                autosave, {"ts": stacked0,
+                           "episodes": jnp.zeros(n_seeds, jnp.int32)})
+            resume = (restored["ts"], np.asarray(restored["episodes"]))
+
+        def log_fn(row):
+            _ts = row.pop("_ts")
+            for i in range(n_seeds):
+                r_i = {k: (np.asarray(v)[i] if np.ndim(v) >= 1
+                           and np.shape(v)[0] == n_seeds else v)
+                       for k, v in row.items()}
+                r_i["episode"] = int(row["episode"][i])
+                loggers[i].log_period(r_i)
+                # per-seed threshold-gated snapshots
+                # (train_offpolicy.py:391-398)
+                r_eval = np.asarray(row["r_eval_local"][i])
+                good = False
+                if save_threshold is not None:
+                    good = bool((r_eval > save_threshold).all())
+                elif experiment == "checkers" and stage == 1:
+                    good = float(r_eval.sum()) > 9.0
+                if good:
+                    ts_i = jax.tree_util.tree_map(lambda x: x[i], _ts)
+                    checkpoint.save(
+                        os.path.join(save_dirs[i],
+                                     f"model_good_{r_i['episode']}"), ts_i)
+            checkpoint.save(autosave,
+                            {"ts": _ts,
+                             "episodes": jnp.asarray(row["episode"],
+                                                     jnp.int32)})
+
+        ts, history = train_vmapped_seeds(
+            hooks, alg, train_cfg, n_seeds=n_seeds,
+            base_seed=master.get("seed", 12341), n_episodes=n_episodes,
+            log_fn=log_fn, onpolicy=onpolicy, resume=resume)
         for i in range(n_seeds):
             ts_i = jax.tree_util.tree_map(lambda x: x[i], ts)
-            d = os.path.join(workdir, "saved", f"{base_dir}_{start + i}")
-            os.makedirs(d, exist_ok=True)
-            checkpoint.save(os.path.join(d, "model_final"), ts_i)
+            checkpoint.save(os.path.join(save_dirs[i], "model_final"), ts_i)
         return ts, history
     results = []
     base_seed = master.get("seed", 12341)

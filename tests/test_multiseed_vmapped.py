@@ -78,3 +78,71 @@ def test_seed_axis_sharded_over_mesh_matches_unsharded():
                     jax.tree_util.tree_leaves(ts_shard)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_vmapped_onpolicy_burst_regime():
+    """On-policy vmapped multiseed: rollout chunks accumulate, bursts
+    fire when the slowest seed crosses episodes_per_train, the buffer is
+    discarded after each burst, epsilon decays per burst
+    (train_onpolicy.py:359-378)."""
+    from cm3_tpu.core.config import ParticleEnvConfig
+    from cm3_tpu.envs.particle import Particle
+
+    env = Particle(ParticleEnvConfig(
+        n_agents=1, agents_x=(-1.0,), agents_y=(-1.0,),
+        landmarks_x=(1.0,), landmarks_y=(1.0,), initial_std=0.0,
+        prob_random=0.2, max_steps=20))
+    alg = CM3("particle", env.spec(), AlgConfig(n_agents=1, stage=1))
+    cfg = TrainConfig(n_envs=8, batch_size=16, buffer_size=2048,
+                      steps_per_train=4, epochs=2, episodes_per_train=8,
+                      pretrain_episodes=8, period=20, N_eval=4,
+                      N_train=60, max_steps=20, epsilon_div=10.0)
+    hooks = make_hooks("particle", env)
+    S = 2
+    ts, history = train_vmapped_seeds(hooks, alg, cfg, n_seeds=S,
+                                      base_seed=11, n_episodes=60,
+                                      onpolicy=True)
+    assert (history[-1]["episode"] >= 60).all()
+    # epsilon decayed per burst below the start value
+    assert (history[-1]["epsilon"] < cfg.epsilon_start).all()
+    # seeds diverged
+    leaves = jax.tree_util.tree_leaves(ts)
+    assert any(
+        np.asarray(l).shape[:1] == (S,)
+        and not np.allclose(np.asarray(l)[0], np.asarray(l)[1])
+        for l in leaves if hasattr(l, "shape") and l.ndim >= 2)
+
+
+def test_runner_vmapped_snapshots_and_resume(tmp_path):
+    """Runner vmapped branch: per-seed CSV/metrics streams, per-seed
+    threshold snapshots, stacked autosave, and auto-resume continuing
+    from the saved episode counts."""
+    import os
+
+    from cm3_tpu.train import runner
+
+    m = runner.cfgmod.load_json("master.json")
+    m.update(experiment="checkers", stage=1, n_envs=8, n_seeds=2,
+             vmapped_seeds=True, dir_name="vm", seed=31,
+             N_train=40, period=10, N_eval=4, pretrain_episodes=6,
+             batch_size=16, buffer_size=512, steps_per_train=4,
+             updates_per_chunk=1, auto_resume=1,
+             save_threshold=-99.0)  # force the good-model path
+    wd = str(tmp_path)
+    ts, history = runner.train_multiseed(m, workdir=wd, n_episodes=40)
+
+    for i in (1, 2):
+        assert os.path.isfile(os.path.join(wd, "log", f"vm_{i}",
+                                           "log_century.csv"))
+        assert os.path.isfile(os.path.join(wd, "log", f"vm_{i}",
+                                           "metrics.jsonl"))
+        saved = os.listdir(os.path.join(wd, "saved", f"vm_{i}"))
+        assert "model_final" in saved
+        assert any(s.startswith("model_good_") for s in saved)
+    assert os.path.isdir(os.path.join(wd, "saved", "vm_vmapped",
+                                      "model_autosave"))
+
+    # resume: continue to a larger budget from the autosave
+    ts2, history2 = runner.train_multiseed(m, workdir=wd, n_episodes=80)
+    assert (history2[0]["episode"] >= 40).all(), (
+        "resume did not continue from the autosaved episode counts")
