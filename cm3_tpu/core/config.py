@@ -233,6 +233,12 @@ class TrainConfig:
     # the host-side once-per-chunk update); eval/log cadence then
     # quantizes to K-chunk groups.
     chunks_per_sync: int = 1
+    # per-episode log.csv stream (reference train_offpolicy.py:208-218,
+    # 399-403 writes EVERY episode; at vectorized rates that is pure
+    # overhead, so completed-episode returns land in a device-side ring
+    # of this many rows, flushed to log.csv once per period — a sampled
+    # stream that keeps the reference's columns.  0 disables.
+    episode_log: int = 1024
 
     @property
     def epsilon_step(self) -> float:

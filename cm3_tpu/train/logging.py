@@ -3,9 +3,11 @@
 Mirrors the reference's two CSV streams (``train_offpolicy.py:208-229,
 385-426``): per-episode ``log.csv`` (episode, global and per-agent
 returns) and per-period ``log_century.csv`` (averaged training returns,
-greedy eval returns, duration).  Vectorized training logs per-period only
-(per-episode rows at 1e6+ episodes/s would be pure overhead); the
-per-period row carries everything the reference's does.
+greedy eval returns, duration).  The per-episode stream is SAMPLED under
+vectorization (full rows at 1e6+ episodes/s would be pure overhead):
+completed-episode returns land in a device-side ring
+(``TrainConfig.episode_log`` rows, offpolicy.RolloutState.eplog) and are
+flushed into ``log.csv`` once per period via ``log_episodes``.
 """
 
 from __future__ import annotations
@@ -50,6 +52,23 @@ class CSVLogger:
         s += ",%d\n" % int(row["duration_s"])
         with open(self.century_path, "a") as f:
             f.write(s)
+
+    def log_episodes(self, rows):
+        """Sampled per-episode log.csv stream (reference
+        train_offpolicy.py:208-218,399-403): one row per completed
+        episode — episode #, per-agent returns, global return."""
+        if rows is None or len(rows) == 0:
+            return
+        path = os.path.join(self.dir, "log.csv")
+        if not os.path.exists(path):
+            header = "Episode," + ",".join(
+                f"r_{i}" for i in range(self.n_agents)) + ",r_global\n"
+            with open(path, "w") as f:
+                f.write(header)
+        with open(path, "a") as f:
+            for r in rows:
+                f.write("%d," % int(r[0])
+                        + ",".join("%.3f" % v for v in r[1:]) + "\n")
 
     def _log_jsonl(self, row: Dict):
         """Full row (losses, timings, ...) as one JSON line per period —

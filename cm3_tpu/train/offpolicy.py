@@ -51,9 +51,15 @@ class RolloutState:
     # buf_episode list, train_offpolicy.py:335-344,370-374)
     stage: Any = None         # pytree, leaves [E, T_max, ...]
     stage_t: Any = None       # [E] i32 current episode length
+    # sampled per-episode return ring [K, 2+N]: (episode#, r_local...,
+    # r_global) of recently completed episodes, flushed to log.csv per
+    # period (the reference's per-episode log.csv stream,
+    # train_offpolicy.py:208-218,399-403)
+    eplog: Any = None
 
 
-def init_rollout(hooks: Hooks, key, n_envs: int) -> RolloutState:
+def init_rollout(hooks: Hooks, key, n_envs: int,
+                 episode_log: int = 0) -> RolloutState:
     keys = prng.split_batch(key, n_envs)
     env_state, ts, goals = jax.vmap(hooks.episode_init)(keys)
     n = hooks.n_agents
@@ -63,7 +69,20 @@ def init_rollout(hooks: Hooks, key, n_envs: int) -> RolloutState:
         ep_ret_local=jnp.zeros((n_envs, n)),
         ep_ret_global=jnp.zeros(n_envs),
         acc_ret_local=jnp.zeros(n), acc_ret_global=jnp.float32(0.0),
-        episodes=jnp.int32(0))
+        episodes=jnp.int32(0),
+        eplog=(jnp.zeros((episode_log, n + 2)) if episode_log else None))
+
+
+def flush_eplog(eplog, last_flushed: int, episodes_done: int):
+    """Extract completed-episode rows newer than ``last_flushed`` from
+    the device ring, sorted by episode number.  Episodes overwritten by
+    the ring before a flush are lost — a documented sampling cap (the
+    full stream at vectorized rates would be pure host overhead)."""
+    arr = np.asarray(eplog)
+    ep_no = arr[:, 0]
+    keep = (ep_no > last_flushed) & (ep_no <= episodes_done)
+    rows = arr[keep]
+    return rows[np.argsort(rows[:, 0])]
 
 
 def init_stage(rs: RolloutState, example_transition, n_envs: int,
@@ -214,10 +233,24 @@ class OffPolicyDriver:
         goals3 = sel(new_goals, rs.goals)
         a_prev3 = jnp.where(done[:, None], 0, actions)
 
+        eplog = rs.eplog
+        if eplog is not None:
+            # write each completed episode's returns into the ring at
+            # (episode# - 1) mod K; non-done rows target index K which
+            # mode="drop" discards
+            k_ring = eplog.shape[0]
+            rank = jnp.cumsum(done.astype(jnp.int32)) - 1
+            ep_no = rs.episodes + 1 + rank
+            idx = jnp.where(done, (ep_no - 1) % k_ring, k_ring)
+            rows = jnp.concatenate(
+                [ep_no.astype(jnp.float32)[:, None], ep_ret_local,
+                 ep_ret_global[:, None]], axis=1)
+            eplog = eplog.at[idx].set(rows, mode="drop")
+
         d = done.astype(jnp.float32)
         rs2 = rs.replace(
             env_state=env_state3, obs=obs3, state=state3, goals=goals3,
-            a_prev=a_prev3, stage=stage, stage_t=stage_t,
+            a_prev=a_prev3, stage=stage, stage_t=stage_t, eplog=eplog,
             ep_ret_local=ep_ret_local * (1.0 - d[:, None]),
             ep_ret_global=ep_ret_global * (1.0 - d),
             acc_ret_local=rs.acc_ret_local
@@ -316,7 +349,7 @@ class OffPolicyDriver:
         cfg = self.cfg
         n_episodes = n_episodes or cfg.N_train
         k_init, k_loop, k_eval = jax.random.split(key, 3)
-        rs = init_rollout(self.hooks, k_init, self.n_envs)
+        rs = init_rollout(self.hooks, k_init, self.n_envs, cfg.episode_log)
         if initial_episodes:
             rs = rs.replace(episodes=jnp.int32(initial_episodes))
 
@@ -340,6 +373,7 @@ class OffPolicyDriver:
                       - max(0, initial_episodes - cfg.pretrain_episodes)
                       * cfg.epsilon_step)
         last_logged_period = initial_episodes // cfg.period
+        last_ep_flushed = initial_episodes
         chunk_idx = 0
         history = []
         t0 = time.time()
@@ -384,6 +418,10 @@ class OffPolicyDriver:
                     / max(cfg.period, 1),
                     "duration_s": time.time() - t0,
                 }
+                if cfg.episode_log:
+                    row["_episodes"] = flush_eplog(
+                        rs.eplog, last_ep_flushed, episodes_done)
+                    last_ep_flushed = episodes_done
                 if cfg.dual_buffer:
                     # dual-memory occupancy (reference stdout print,
                     # train_offpolicy.py:405-410)

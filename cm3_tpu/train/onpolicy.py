@@ -65,7 +65,7 @@ class OnPolicyDriver(OffPolicyDriver):
         cfg = self.cfg
         n_episodes = n_episodes or cfg.N_train
         k_init, k_loop, k_eval = jax.random.split(key, 3)
-        rs = init_rollout(self.hooks, k_init, self.n_envs)
+        rs = init_rollout(self.hooks, k_init, self.n_envs, cfg.episode_log)
 
         e, n = self.n_envs, self.hooks.n_agents
         dummy_ts = jax.vmap(self.hooks.env.step)(
@@ -80,6 +80,7 @@ class OnPolicyDriver(OffPolicyDriver):
 
         epsilon = cfg.epsilon_start
         episodes_done, last_train_eps, last_logged_period = 0, 0, 0
+        last_ep_flushed = 0
         chunk_idx = 0
         history = []
         num_bad = num_good = 0  # cumulative routed counts (train_onpolicy.py:373-374)
@@ -130,6 +131,11 @@ class OnPolicyDriver(OffPolicyDriver):
                     "t_env": t_env, "t_train": t_train,
                     "duration_s": time.time() - t0,
                 }
+                if cfg.episode_log:
+                    from cm3_tpu.train.offpolicy import flush_eplog
+                    row["_episodes"] = flush_eplog(
+                        rs.eplog, last_ep_flushed, episodes_done)
+                    last_ep_flushed = episodes_done
                 if cfg.dual_buffer:
                     row["n_bad"] = num_bad
                     row["n_good"] = num_good

@@ -210,6 +210,8 @@ def train_function(master: Dict, workdir: str = ".",
             f"roadway_stage{stage}.json")["save_threshold"]
 
     def log_fn(row):
+        if "_episodes" in row:
+            logger.log_episodes(row.pop("_episodes"))
         logger.log_period(row)
         if verbose:
             stdout_log(row)

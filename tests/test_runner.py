@@ -78,3 +78,27 @@ def test_multiseed(tmp_path):
     assert len(out) == 2
     assert os.path.isdir(os.path.join(str(tmp_path), "saved", "t1_1"))
     assert os.path.isdir(os.path.join(str(tmp_path), "saved", "t1_2"))
+
+
+def test_per_episode_log_stream(tmp_path):
+    """Sampled per-episode log.csv (reference train_offpolicy.py:208-218,
+    399-403): completed-episode returns stream out of the device ring."""
+    import csv
+    import os
+
+    from cm3_tpu.train import runner
+
+    m = runner.cfgmod.load_json("master.json")
+    m.update(experiment="checkers", stage=1, n_envs=8, dir_name="eplog",
+             seed=3, N_train=120, period=40, N_eval=4,
+             pretrain_episodes=10, batch_size=16, buffer_size=512,
+             steps_per_train=4, updates_per_chunk=1, episode_log=256)
+    wd = str(tmp_path)
+    runner.train_function(m, workdir=wd, verbose=False)
+    path = os.path.join(wd, "log", "eplog", "log.csv")
+    assert os.path.isfile(path)
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) >= 80  # most episodes stream out (ring > period)
+    eps = [int(r["Episode"]) for r in rows]
+    assert eps == sorted(eps) and len(set(eps)) == len(eps)
+    assert all("r_0" in r and "r_global" in r for r in rows)
