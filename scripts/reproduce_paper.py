@@ -187,6 +187,7 @@ def main():
     ap.add_argument("--seeds", type=int, default=3,
                     help="max seeds per cell (reference n_seeds=3, "
                     "config.json:39); stops at first gate pass")
+    ap.add_argument("--base-seed", type=int, default=12341)
     ap.add_argument("--cells", default=None,
                     help="comma-separated subset of cells")
     ap.add_argument("--cpu", action="store_true",
@@ -205,7 +206,7 @@ def main():
         want = args.cells.split(",")
         names = [n for n in names if n in want]
 
-    base_seed = 12341
+    base_seed = args.base_seed
     winners = {}  # cell -> dir_name of gate-passing (or best) seed run
     rows = []
     for name in names:
