@@ -247,9 +247,16 @@ def train_function(master: Dict, workdir: str = ".",
     run_kwargs = {}
     if not isinstance(driver, OnPolicyDriver):
         run_kwargs["initial_episodes"] = initial_episodes
-    ts, stats = driver.run(ts, prng.for_purpose(key, prng.ROLLOUT),
-                           n_episodes=n_episodes, log_fn=log_fn,
-                           **run_kwargs)
+    # learning runs use f32 matmuls: the TPU default (bf16 inputs)
+    # systematically degrades this tiny-margin credit-assignment task
+    # (checkers stage-1 locks into the +6.0 full-sweep optimum under
+    # bf16; escapes it under f32 — see PERF.md), and f32 is what the
+    # reference's TF1 CPU/GPU runs compute with.  Throughput benches
+    # keep the hardware-native default.
+    with jax.default_matmul_precision("float32"):
+        ts, stats = driver.run(ts, prng.for_purpose(key, prng.ROLLOUT),
+                               n_episodes=n_episodes, log_fn=log_fn,
+                               **run_kwargs)
     checkpoint.save(os.path.join(save_dir, "model_final"), ts)
     return ts, stats
 
@@ -332,10 +339,13 @@ def train_multiseed(master: Dict, workdir: str = ".",
                              "episodes": jnp.asarray(row["episode"],
                                                      jnp.int32)})
 
-        ts, history = train_vmapped_seeds(
-            hooks, alg, train_cfg, n_seeds=n_seeds,
-            base_seed=master.get("seed", 12341), n_episodes=n_episodes,
-            log_fn=log_fn, onpolicy=onpolicy, resume=resume)
+        # f32 matmuls for learning parity (see train_function)
+        with jax.default_matmul_precision("float32"):
+            ts, history = train_vmapped_seeds(
+                hooks, alg, train_cfg, n_seeds=n_seeds,
+                base_seed=master.get("seed", 12341),
+                n_episodes=n_episodes, log_fn=log_fn, onpolicy=onpolicy,
+                resume=resume)
         for i in range(n_seeds):
             ts_i = jax.tree_util.tree_map(lambda x: x[i], ts)
             checkpoint.save(os.path.join(save_dirs[i], "model_final"), ts_i)
