@@ -170,10 +170,24 @@ SCORE = {
 }
 
 
-def _find_restore(dep_prefix: str):
+def _find_restore(dep_cell: str, dep_prefix: str):
     """Locate a prior winner checkpoint dir for a dependency when its
-    cell was not run in this invocation."""
+    cell was not run in this invocation: prefer the gate-passing seed
+    recorded in results.jsonl (best-scoring otherwise), falling back to
+    any matching saved dir."""
+    path = os.path.join(WORKDIR, "results.jsonl")
     saved = os.path.join(WORKDIR, "saved")
+    if os.path.isfile(path):
+        rows = [json.loads(l) for l in open(path)]
+        cand = [r for r in rows if r.get("cell") == dep_cell
+                and os.path.isdir(os.path.join(saved,
+                                               r.get("dir_name", "")))]
+        if cand:
+            passed = [r for r in cand if r.get("passed")]
+            score = SCORE.get(dep_cell,
+                              lambda r: r.get("best_eval_global") or -99)
+            return (passed[0] if passed else max(cand, key=score))[
+                "dir_name"]
     if os.path.isdir(saved):
         for d in sorted(os.listdir(saved)):
             if d.startswith(dep_prefix):
@@ -219,7 +233,7 @@ def main():
                       dir_name=f"{base['dir_name']}_{seed}")
             if dep is not None:
                 restore = winners.get(dep) or _find_restore(
-                    todo[dep]["dir_name"])
+                    dep, todo[dep]["dir_name"])
                 if restore is None:
                     print(f"[{name}] SKIP: no {dep} checkpoint found",
                           flush=True)
