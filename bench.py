@@ -303,14 +303,18 @@ def bench_train_multiseed(n_seeds: int = 16, n_envs: int = 256,
     chunk = jax.jit(jax.vmap(
         lambda t, b, r, k: driver._chunk(t, b, r, 0.2, k, True, False)),
         donate_argnums=(1,))
-    ts, buf, rs, _ = chunk(ts, buf, rs,
-                           jax.random.split(jax.random.PRNGKey(2), s))
-    jax.block_until_ready(rs.episodes)
-    t0 = time.time()
-    for i in range(reps):
+    # f32 matmuls: the precision the real trainer pins for learning
+    # parity (runner.train_function) — the headline must measure the
+    # path users actually train on
+    with jax.default_matmul_precision("float32"):
         ts, buf, rs, _ = chunk(ts, buf, rs,
-                               jax.random.split(jax.random.PRNGKey(3 + i), s))
-    jax.block_until_ready(rs.episodes)
+                               jax.random.split(jax.random.PRNGKey(2), s))
+        jax.block_until_ready(rs.episodes)
+        t0 = time.time()
+        for i in range(reps):
+            ts, buf, rs, _ = chunk(
+                ts, buf, rs, jax.random.split(jax.random.PRNGKey(3 + i), s))
+        jax.block_until_ready(rs.episodes)
     return s * n_envs * cfg.steps_per_train * reps / (time.time() - t0)
 
 
