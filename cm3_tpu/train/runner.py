@@ -209,6 +209,8 @@ def train_function(master: Dict, workdir: str = ".",
         save_threshold = cfgmod.load_json(
             f"roadway_stage{stage}.json")["save_threshold"]
 
+    best_good = [-np.inf]
+
     def log_fn(row):
         if "_episodes" in row:
             logger.log_episodes(row.pop("_episodes"))
@@ -228,14 +230,20 @@ def train_function(master: Dict, workdir: str = ".",
                 tboard.log_train_state(tb, row["_grads"], step,
                                        prefix="grads")
             tb.flush()
-        # threshold-gated snapshots (train_offpolicy.py:391-398)
+        # threshold-gated snapshots (train_offpolicy.py:391-398).  The
+        # reference saves on EVERY crossing; a vectorized run crosses
+        # hundreds of times once converged, so snapshots additionally
+        # require a new best eval statistic
         r_eval = row["r_eval_local"]
-        good = False
+        good, stat = False, -np.inf
         if save_threshold is not None:
+            stat = float(np.min(r_eval))
             good = bool((r_eval > save_threshold).all())
         elif experiment == "checkers" and stage == 1:
-            good = float(r_eval.sum()) > 9.0
-        if good:
+            stat = float(r_eval.sum())
+            good = stat > 9.0
+        if good and stat > best_good[0]:
+            best_good[0] = stat
             checkpoint.save(
                 os.path.join(save_dir, f"model_good_{row['episode']}"),
                 row["_ts"])
@@ -313,6 +321,8 @@ def train_multiseed(master: Dict, workdir: str = ".",
                            "episodes": jnp.zeros(n_seeds, jnp.int32)})
             resume = (restored["ts"], np.asarray(restored["episodes"]))
 
+        best_good = [-np.inf] * n_seeds
+
         def log_fn(row):
             _ts = row.pop("_ts")
             for i in range(n_seeds):
@@ -321,15 +331,18 @@ def train_multiseed(master: Dict, workdir: str = ".",
                        for k, v in row.items()}
                 r_i["episode"] = int(row["episode"][i])
                 loggers[i].log_period(r_i)
-                # per-seed threshold-gated snapshots
+                # per-seed threshold-gated snapshots, on new best only
                 # (train_offpolicy.py:391-398)
                 r_eval = np.asarray(row["r_eval_local"][i])
-                good = False
+                good, stat = False, -np.inf
                 if save_threshold is not None:
+                    stat = float(np.min(r_eval))
                     good = bool((r_eval > save_threshold).all())
                 elif experiment == "checkers" and stage == 1:
-                    good = float(r_eval.sum()) > 9.0
-                if good:
+                    stat = float(r_eval.sum())
+                    good = stat > 9.0
+                if good and stat > best_good[i]:
+                    best_good[i] = stat
                     ts_i = jax.tree_util.tree_map(lambda x: x[i], _ts)
                     checkpoint.save(
                         os.path.join(save_dirs[i],
