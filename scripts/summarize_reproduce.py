@@ -50,7 +50,7 @@ def main():
         score = SCORE.get(cell, lambda r: r.get("best_eval_global")
                           if r.get("best_eval_global") is not None
                           else -99)
-        r = passed[0] if passed else max(cand, key=score)
+        r = max(passed or cand, key=score)
         out.append(
             f"| {cell} | {r['seed']} ({len(cand)}) | {r['minutes']} | "
             f"{r['final_eval_local']} | {r['final_eval_global']} / "
