@@ -14,7 +14,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scripts.reproduce_paper import ORDER, SCORE, WORKDIR  # noqa: E402
+from scripts.reproduce_paper import GATES, ORDER, SCORE, WORKDIR  # noqa: E402
 
 
 def main():
@@ -22,6 +22,10 @@ def main():
     rows = [json.loads(l) for l in open(os.path.join(wd, "results.jsonl"))]
     by_cell = {}
     for r in rows:
+        # re-evaluate against the CURRENT gate definitions (gates are
+        # calibrated by probes; stored rows may predate a recalibration)
+        desc, fn = GATES[r["cell"]]
+        r["gate"], r["passed"] = desc, bool(fn(r))
         by_cell.setdefault(r["cell"], []).append(r)
 
     out = ["# Paper-matrix reproduction\n",
