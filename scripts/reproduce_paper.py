@@ -150,15 +150,15 @@ GATES = {
                    lambda r: (r["best_eval_global"] or -99) > 9.5),
     # The reference's literal stage-2 snapshot condition
     # np.all(r_local_eval > 18) (config_sumo_stage2.json:14) is
-    # unsatisfiable (per-agent max ~10).  Calibration probe
-    # (_probe_roadway2_optimal.py): a scripted near-optimal 2-car
-    # controller's 10-episode eval min-over-agents averages 8.1 and
-    # peaks at 9.25 under the goal-lane randomization + departure
-    # stagger — so >9.0 is ceiling-level play for BOTH cars.
-    "roadway_s2": ("best min-over-agents eval > 9.0 (np.all threshold "
-                   "form, train_offpolicy.py:391; scripted-optimal "
-                   "ceiling ~9.25, see _probe_roadway2_optimal.py)",
-                   lambda r: (r["best_min_eval_local"] or -99) > 9.0),
+    # unsatisfiable (per-agent max ~10); the strict reinterpretation is
+    # the stage-1 save_threshold applied per-agent.  Calibration
+    # (_probe_roadway2_optimal.py): a scripted lane-seeking 2-car
+    # baseline's 10-episode eval min-over-agents averages 8.1, peaks
+    # 9.25; trained CM3 beats it (best seed 9.81 > 9.5).
+    "roadway_s2": ("best min-over-agents eval > 9.5 (np.all threshold "
+                   "form, train_offpolicy.py:391; scripted 2-car "
+                   "baseline peaks at 9.25, _probe_roadway2_optimal.py)",
+                   lambda r: (r["best_min_eval_local"] or -99) > 9.5),
     # directional gates: the paper's point is that the baselines learn
     # SLOWER/worse than CM3 on the 2-agent task — require clear movement
     # above the random policy (~0), not the CM3 gate
