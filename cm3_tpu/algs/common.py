@@ -61,8 +61,25 @@ def adam(lr: float) -> optax.GradientTransformation:
     moment/update elementwise ops run over ONE concatenated vector per
     network instead of per-leaf, collapsing ~2 fused kernels per leaf
     per tree into a handful — the tiny-model learner is kernel-launch
-    bound, not FLOP bound (PERF.md single-seed analysis)."""
-    return optax.flatten(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8))
+    bound, not FLOP bound (PERF.md single-seed analysis).
+
+    Format notes: (a) flattening changes the optimizer-state pytree
+    layout, so TrainState checkpoints saved before the flatten change
+    (round 1) do not restore against the current template — all tracked
+    evidence checkpoints postdate it; (b) ``flatten``'s ravel_pytree
+    would silently promote dtypes on a mixed-precision param tree, so
+    ``init`` asserts the tree is dtype-uniform."""
+    base = optax.flatten(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8))
+
+    def init(params):
+        dtypes = {x.dtype for x in jax.tree_util.tree_leaves(params)}
+        if len(dtypes) > 1:
+            raise TypeError(
+                f"optax.flatten requires a dtype-uniform param tree "
+                f"(ravel_pytree would silently promote): got {dtypes}")
+        return base.init(params)
+
+    return optax.GradientTransformation(init, base.update)
 
 
 def flatten_bn(x):

@@ -20,7 +20,12 @@ import numpy as np
 
 class CSVLogger:
 
-    def __init__(self, log_dir: str, n_agents: int, extra_cols=()):
+    def __init__(self, log_dir: str, n_agents: int, extra_cols=(),
+                 resume: bool = False):
+        """``resume``: append to existing CSV streams instead of
+        truncating (elastic auto-resume restarts mid-run; a fresh
+        header-only rewrite would silently discard every previously
+        logged period while the autosave keeps the episode count)."""
         self.dir = log_dir
         self.n_agents = n_agents
         os.makedirs(log_dir, exist_ok=True)
@@ -35,8 +40,9 @@ class CSVLogger:
         for c in extra_cols:
             header += f",{c}"
         header += ",duration (s)\n"
-        with open(self.century_path, "w") as f:
-            f.write(header)
+        if not (resume and os.path.exists(self.century_path)):
+            with open(self.century_path, "w") as f:
+                f.write(header)
         self.extra_cols = tuple(extra_cols)
 
     def log_period(self, row: Dict):
@@ -53,22 +59,25 @@ class CSVLogger:
         with open(self.century_path, "a") as f:
             f.write(s)
 
-    def log_episodes(self, rows):
-        """Sampled per-episode log.csv stream (reference
-        train_offpolicy.py:208-218,399-403): one row per completed
-        episode — episode #, per-agent returns, global return."""
-        if rows is None or len(rows) == 0:
+    def log_episodes(self, ids, rets):
+        """Sampled per-episode log.csv stream: ``ids`` [M] episode
+        numbers, ``rets`` [M, N+1] = (r_local..., r_global).  Columns
+        keep the reference's layout — Episode, r_global, then per-agent
+        returns (header at train_offpolicy.py:209-212, rows at
+        :419-420) — so tooling that parses the reference layout
+        positionally reads this stream unchanged."""
+        if ids is None or len(ids) == 0:
             return
         path = os.path.join(self.dir, "log.csv")
         if not os.path.exists(path):
-            header = "Episode," + ",".join(
-                f"r_{i}" for i in range(self.n_agents)) + ",r_global\n"
+            header = "Episode,r_global," + ",".join(
+                f"r_{i}" for i in range(self.n_agents)) + "\n"
             with open(path, "w") as f:
                 f.write(header)
         with open(path, "a") as f:
-            for r in rows:
-                f.write("%d," % int(r[0])
-                        + ",".join("%.3f" % v for v in r[1:]) + "\n")
+            for ep, r in zip(ids, rets):
+                f.write("%d,%.3f," % (int(ep), r[-1])
+                        + ",".join("%.3f" % v for v in r[:-1]) + "\n")
 
     def _log_jsonl(self, row: Dict):
         """Full row (losses, timings, ...) as one JSON line per period —

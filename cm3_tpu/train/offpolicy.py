@@ -51,11 +51,14 @@ class RolloutState:
     # buf_episode list, train_offpolicy.py:335-344,370-374)
     stage: Any = None         # pytree, leaves [E, T_max, ...]
     stage_t: Any = None       # [E] i32 current episode length
-    # sampled per-episode return ring [K, 2+N]: (episode#, r_local...,
-    # r_global) of recently completed episodes, flushed to log.csv per
-    # period (the reference's per-episode log.csv stream,
+    # sampled per-episode return ring: eplog [K, N+1] holds
+    # (r_local..., r_global) of recently completed episodes, eplog_ep
+    # [K] i32 the matching episode numbers (kept integer — a float32
+    # id loses integer precision past 2^24 episodes); flushed to
+    # log.csv per period (the reference's per-episode log.csv stream,
     # train_offpolicy.py:208-218,399-403)
     eplog: Any = None
+    eplog_ep: Any = None
 
 
 def init_rollout(hooks: Hooks, key, n_envs: int,
@@ -70,19 +73,22 @@ def init_rollout(hooks: Hooks, key, n_envs: int,
         ep_ret_global=jnp.zeros(n_envs),
         acc_ret_local=jnp.zeros(n), acc_ret_global=jnp.float32(0.0),
         episodes=jnp.int32(0),
-        eplog=(jnp.zeros((episode_log, n + 2)) if episode_log else None))
+        eplog=(jnp.zeros((episode_log, n + 1)) if episode_log else None),
+        eplog_ep=(jnp.zeros(episode_log, jnp.int32) if episode_log
+                  else None))
 
 
-def flush_eplog(eplog, last_flushed: int, episodes_done: int):
+def flush_eplog(eplog, eplog_ep, last_flushed: int, episodes_done: int):
     """Extract completed-episode rows newer than ``last_flushed`` from
-    the device ring, sorted by episode number.  Episodes overwritten by
+    the device ring, sorted by episode number: -> (ids [M] i64,
+    returns [M, N+1] = r_local..., r_global).  Episodes overwritten by
     the ring before a flush are lost — a documented sampling cap (the
     full stream at vectorized rates would be pure host overhead)."""
     arr = np.asarray(eplog)
-    ep_no = arr[:, 0]
+    ep_no = np.asarray(eplog_ep, np.int64)
     keep = (ep_no > last_flushed) & (ep_no <= episodes_done)
-    rows = arr[keep]
-    return rows[np.argsort(rows[:, 0])]
+    order = np.argsort(ep_no[keep])
+    return ep_no[keep][order], arr[keep][order]
 
 
 def init_stage(rs: RolloutState, example_transition, n_envs: int,
@@ -142,22 +148,31 @@ class OffPolicyDriver:
         return metrics["grads"]
 
     def _chunks_scanned(self, ts, buf, rs, key, k_chunks: int):
+        """K chunks per dispatch with ON-DEVICE schedule: both the
+        epsilon decay AND the pretrain->train regime switch are
+        evaluated per chunk from the live episode count, so a dispatch
+        that straddles the fill/train boundary behaves exactly like K
+        separate host-synced chunks (random actions + no update applied
+        while episodes < pretrain_episodes)."""
         cfg = self.cfg
 
         def one(carry, k):
             ts, buf, rs = carry
+            gate = rs.episodes >= cfg.pretrain_episodes
             eps = jnp.maximum(
                 cfg.epsilon_end,
                 cfg.epsilon_start - jnp.maximum(
                     0, rs.episodes - cfg.pretrain_episodes).astype(jnp.float32)
                 * cfg.epsilon_step)
             ts, buf, rs, metrics = self._chunk(ts, buf, rs, eps, k,
-                                               True, False)
+                                               True, False, gate=gate)
             return (ts, buf, rs), metrics
 
         (ts, buf, rs), ms = jax.lax.scan(
             one, (ts, buf, rs), jax.random.split(key, k_chunks))
-        return ts, buf, rs, jax.tree_util.tree_map(lambda m: m[-1], ms)
+        metrics = jax.tree_util.tree_map(lambda m: m[-1], ms)
+        metrics["trained_chunks"] = jnp.sum(ms["trained"])
+        return ts, buf, rs, metrics
 
     # -------------------------------------------------------------- #
 
@@ -174,9 +189,11 @@ class OffPolicyDriver:
         return tr
 
     def _step_once(self, ts_alg, rs: RolloutState, buf, epsilon, key,
-                   random_actions: bool):
+                   random_actions: bool, policy_gate=None):
         """One lockstep env transition for all instances + buffer add +
-        auto-reset."""
+        auto-reset.  ``policy_gate`` (traced bool, optional): when
+        False, act randomly regardless of ``random_actions`` — the
+        on-device pretrain-fill regime inside a K-chunk dispatch."""
         hooks, env = self.hooks, self.hooks.env
         e = self.n_envs
         n = hooks.n_agents
@@ -188,6 +205,11 @@ class OffPolicyDriver:
         else:
             actions = self.alg.act(ts_alg, rs.obs, rs.goals, rs.a_prev,
                                    epsilon, k_act)
+            if policy_gate is not None:
+                actions = jnp.where(
+                    policy_gate, actions,
+                    jax.random.randint(k_rand, (e, n), 0,
+                                       self.alg.n_actions))
         if hasattr(env, "check_actions"):
             # feasibility filter before stepping; the REPLACED actions are
             # what gets stored (train_offpolicy.py:322-325)
@@ -233,7 +255,7 @@ class OffPolicyDriver:
         goals3 = sel(new_goals, rs.goals)
         a_prev3 = jnp.where(done[:, None], 0, actions)
 
-        eplog = rs.eplog
+        eplog, eplog_ep = rs.eplog, rs.eplog_ep
         if eplog is not None:
             # write each completed episode's returns into the ring at
             # (episode# - 1) mod K; non-done rows target index K which
@@ -243,14 +265,15 @@ class OffPolicyDriver:
             ep_no = rs.episodes + 1 + rank
             idx = jnp.where(done, (ep_no - 1) % k_ring, k_ring)
             rows = jnp.concatenate(
-                [ep_no.astype(jnp.float32)[:, None], ep_ret_local,
-                 ep_ret_global[:, None]], axis=1)
+                [ep_ret_local, ep_ret_global[:, None]], axis=1)
             eplog = eplog.at[idx].set(rows, mode="drop")
+            eplog_ep = eplog_ep.at[idx].set(ep_no, mode="drop")
 
         d = done.astype(jnp.float32)
         rs2 = rs.replace(
             env_state=env_state3, obs=obs3, state=state3, goals=goals3,
             a_prev=a_prev3, stage=stage, stage_t=stage_t, eplog=eplog,
+            eplog_ep=eplog_ep,
             ep_ret_local=ep_ret_local * (1.0 - d[:, None]),
             ep_ret_global=ep_ret_global * (1.0 - d),
             acc_ret_local=rs.acc_ret_local
@@ -260,14 +283,20 @@ class OffPolicyDriver:
         return rs2, buf
 
     def _chunk(self, ts_alg, buf, rs, epsilon, key, do_train: bool,
-               random_actions: bool):
-        """steps_per_train lockstep env steps, then one learning update."""
+               random_actions: bool, gate=None):
+        """steps_per_train lockstep env steps, then one learning update.
+        ``gate`` (traced bool, optional): when False this chunk is a
+        pretrain-fill chunk — actions are random and the update is
+        computed but NOT applied (params/metrics fall back to the
+        incoming state) — so a K-chunk dispatch can cross the
+        pretrain->train boundary on-device."""
         spt = self.cfg.steps_per_train
 
         def body(carry, k):
             rs, buf = carry
             rs, buf = self._step_once(ts_alg, rs, buf, epsilon, k,
-                                      random_actions=random_actions)
+                                      random_actions=random_actions,
+                                      policy_gate=gate)
             return (rs, buf), ()
 
         (rs, buf), _ = jax.lax.scan(body, (rs, buf),
@@ -285,10 +314,18 @@ class OffPolicyDriver:
                     batch = replay.sample(buf, k_sample, self.cfg.batch_size)
                 return self.alg.update(ts_alg, batch, epsilon, k_update)
 
-            ts_alg, metrics = jax.lax.scan(
+            ts_new, metrics = jax.lax.scan(
                 upd_body, ts_alg,
                 jax.random.split(jax.random.fold_in(key, 7), n_upd))
             metrics = {k: v[-1] for k, v in metrics.items()}
+            if gate is None:
+                ts_alg = ts_new
+            else:
+                ts_alg = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(gate, n, o), ts_new, ts_alg)
+                metrics = {k: jnp.where(gate, v, jnp.zeros_like(v))
+                           for k, v in metrics.items()}
+                metrics["trained"] = gate.astype(jnp.float32)
         return ts_alg, buf, rs, metrics
 
     # -------------------------------------------------------------- #
@@ -386,7 +423,12 @@ class OffPolicyDriver:
                 pretrain, fn = True, self._chunk_warm       # resume warm-up
             else:
                 pretrain, fn = False, self._chunk_train
-            if not pretrain and cfg.chunks_per_sync > 1:
+            # the K-chunk dispatch evaluates the fill/train regime AND
+            # epsilon on-device per chunk, so it is safe in the fill
+            # phase and across the pretrain->train boundary; only the
+            # resume warm-up (policy actions, no updates, episode count
+            # already past pretrain) needs the host-paced path
+            if cfg.chunks_per_sync > 1 and fn is not self._chunk_warm:
                 ts_alg, buf, rs, metrics = self._chunk_train_k(
                     ts_alg, buf, rs, k, cfg.chunks_per_sync)
             else:
@@ -420,7 +462,8 @@ class OffPolicyDriver:
                 }
                 if cfg.episode_log:
                     row["_episodes"] = flush_eplog(
-                        rs.eplog, last_ep_flushed, episodes_done)
+                        rs.eplog, rs.eplog_ep, last_ep_flushed,
+                        episodes_done)
                     last_ep_flushed = episodes_done
                 if cfg.dual_buffer:
                     # dual-memory occupancy (reference stdout print,

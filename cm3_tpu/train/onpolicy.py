@@ -134,7 +134,8 @@ class OnPolicyDriver(OffPolicyDriver):
                 if cfg.episode_log:
                     from cm3_tpu.train.offpolicy import flush_eplog
                     row["_episodes"] = flush_eplog(
-                        rs.eplog, last_ep_flushed, episodes_done)
+                        rs.eplog, rs.eplog_ep, last_ep_flushed,
+                        episodes_done)
                     last_ep_flushed = episodes_done
                 if cfg.dual_buffer:
                     row["n_bad"] = num_bad

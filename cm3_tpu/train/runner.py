@@ -187,7 +187,8 @@ def train_function(master: Dict, workdir: str = ".",
     log_dir = os.path.join(workdir, "log", dir_name)
     save_dir = os.path.join(workdir, "saved", dir_name)
     os.makedirs(save_dir, exist_ok=True)
-    logger = CSVLogger(log_dir, hooks.n_agents)
+    logger = CSVLogger(log_dir, hooks.n_agents,
+                       resume=bool(master.get("auto_resume", 0)))
     # TensorBoard event stream when summarize:true (config.json:64;
     # FileWriter at train_offpolicy.py:176, emission at :350-356)
     tb = tboard.SummaryWriter(log_dir) if master.get("summarize") else None
@@ -213,7 +214,7 @@ def train_function(master: Dict, workdir: str = ".",
 
     def log_fn(row):
         if "_episodes" in row:
-            logger.log_episodes(row.pop("_episodes"))
+            logger.log_episodes(*row.pop("_episodes"))
         logger.log_period(row)
         if verbose:
             stdout_log(row)
@@ -294,7 +295,9 @@ def train_multiseed(master: Dict, workdir: str = ".",
         # per-seed CSV/metrics streams, like one reference process each
         loggers = [CSVLogger(os.path.join(workdir, "log",
                                           f"{base_dir}_{start + i}"),
-                             hooks.n_agents) for i in range(n_seeds)]
+                             hooks.n_agents,
+                             resume=bool(master.get("auto_resume", 0)))
+                   for i in range(n_seeds)]
         save_dirs = [os.path.join(workdir, "saved",
                                   f"{base_dir}_{start + i}")
                      for i in range(n_seeds)]

@@ -92,3 +92,48 @@ def test_chunks_per_sync_scanned_path():
     assert abs(stats["epsilon"] - expected) < cfg.epsilon_step * \
         cfg.chunks_per_sync * cfg.n_envs * 5
     assert len(stats["history"]) >= 1
+
+
+def test_chunks_scanned_respects_pretrain_boundary():
+    """A K-chunk dispatch that straddles the pretrain->train boundary
+    must fill (random actions, no update applied) while
+    episodes < pretrain_episodes and only train afterwards — evaluated
+    ON DEVICE per chunk (VERDICT r2 item 8)."""
+    import dataclasses
+
+    from cm3_tpu.replay import buffer as replay
+
+    env, alg, cfg, hooks, driver = _setup(n_envs=4, max_steps=10)
+    # ~4 episodes complete per chunk (4 envs x 10 steps / max_steps 10),
+    # so pretrain_episodes=8 is crossed inside a 6-chunk dispatch
+    cfg = dataclasses.replace(cfg, chunks_per_sync=6, pretrain_episodes=8,
+                              updates_per_chunk=1, steps_per_train=10)
+    driver = OffPolicyDriver(hooks, alg, cfg)
+    key = jax.random.PRNGKey(0)
+    rs = init_rollout(hooks, key, cfg.n_envs)
+    ts = alg.init_state(jax.random.PRNGKey(1), rs.obs, rs.state, rs.goals)
+    zeros = jnp.zeros((cfg.n_envs, 1), jnp.int32)
+    dummy = jax.vmap(env.step)(rs.env_state, zeros)[1]
+    example = jax.tree_util.tree_map(
+        lambda x: x[0], driver._transition(rs, zeros, dummy, None))
+
+    # boundary mid-dispatch: some chunks fill, some train
+    buf = replay.init(example, cfg.buffer_size)
+    ts2, _, rs2, metrics = driver._chunk_train_k(ts, buf, rs, key, 6)
+    trained = int(metrics["trained_chunks"])
+    assert 0 < trained < 6, f"boundary not inside dispatch: {trained}"
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(ts),
+                        jax.tree_util.tree_leaves(ts2)))
+    assert changed, "post-boundary chunks must apply updates"
+
+    # entirely below the boundary: params must be untouched bit-exactly
+    cfg3 = dataclasses.replace(cfg, pretrain_episodes=10_000)
+    driver3 = OffPolicyDriver(hooks, alg, cfg3)
+    buf3 = replay.init(example, cfg.buffer_size)
+    ts3, _, _, m3 = driver3._chunk_train_k(ts, buf3, rs, key, 6)
+    assert int(m3["trained_chunks"]) == 0
+    for a, b in zip(jax.tree_util.tree_leaves(ts),
+                    jax.tree_util.tree_leaves(ts3)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
