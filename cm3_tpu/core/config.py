@@ -233,6 +233,16 @@ class TrainConfig:
     # the host-side once-per-chunk update); eval/log cadence then
     # quantizes to K-chunk groups.
     chunks_per_sync: int = 1
+    # per-device replay shards (SURVEY.md §7: "keep per-host buffers to
+    # avoid cross-host gathers").  With 1 (default) the buffer is one
+    # ring gathered globally per sample; with D>1 the buffer leaves
+    # carry a leading [D] shard axis aligned with the data-parallel env
+    # sharding — each device appends and samples batch/D rows locally,
+    # eliminating the per-update cross-device gather (the gradient psum
+    # becomes the only collective).  Requires n_envs, batch_size and
+    # buffer_size divisible by D.  Set to the mesh size for multi-chip
+    # runs; 1 and D=1 are identical programs.
+    replay_shards: int = 1
     # per-episode log.csv stream (reference train_offpolicy.py:208-218,
     # 399-403 writes EVERY episode; at vectorized rates that is pure
     # overhead, so completed-episode returns land in a device-side ring

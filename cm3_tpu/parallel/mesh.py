@@ -55,16 +55,35 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)
 
 
-def shard_driver_state(mesh: Mesh, ts, buf, rs, n_envs: int):
+def shard_driver_state(mesh: Mesh, ts, buf, rs, n_envs: int,
+                       replay_shards: int = 1):
     """Place a (TrainState, ReplayState, RolloutState) triple for
-    data-parallel execution: rollout over env axis, replay over the
-    capacity axis, learner replicated."""
+    data-parallel execution: rollout over env axis, learner replicated.
+
+    ``replay_shards == 1``: the single ring shards over its capacity
+    axis (every sample then gathers across the mesh — legacy mode).
+    ``replay_shards == mesh size``: shard-local replay — every buffer
+    leaf (data rings AND [D] cursors) leads with the shard axis, placed
+    so shard d lives with env block d; appends and samples are then
+    device-local (buffer.py sharded ops; no gather collectives in the
+    lowered program, tests/test_parallel.py)."""
     ts = replicate(ts, mesh)
     rs = shard_leading_axis(rs, mesh, n_envs)
-    from cm3_tpu.replay.buffer import ReplayState  # local import, no cycle
-    cap = jax.tree_util.tree_leaves(buf.data)[0].shape[0]
-    buf = buf.replace(
-        data=shard_leading_axis(buf.data, mesh, cap),
-        insert=jax.device_put(buf.insert, replicated(mesh)),
-        size=jax.device_put(buf.size, replicated(mesh)))
+    if replay_shards > 1:
+        def place_buf(b):
+            return b.replace(
+                data=shard_leading_axis(b.data, mesh, replay_shards),
+                insert=jax.device_put(b.insert, data_sharding(mesh)),
+                size=jax.device_put(b.size, data_sharding(mesh)))
+    else:
+        def place_buf(b):
+            cap = jax.tree_util.tree_leaves(b.data)[0].shape[0]
+            return b.replace(
+                data=shard_leading_axis(b.data, mesh, cap),
+                insert=jax.device_put(b.insert, replicated(mesh)),
+                size=jax.device_put(b.size, replicated(mesh)))
+    if hasattr(buf, "bad"):  # dual buffer
+        buf = buf.replace(bad=place_buf(buf.bad), good=place_buf(buf.good))
+    else:
+        buf = place_buf(buf)
     return ts, buf, rs

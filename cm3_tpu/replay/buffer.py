@@ -144,8 +144,10 @@ def reset_dual(state: DualReplayState) -> DualReplayState:
     sharing one buffer across fields breaks donation (the same device
     buffer may not be donated twice)."""
     return DualReplayState(
-        bad=state.bad.replace(insert=jnp.int32(0), size=jnp.int32(0)),
-        good=state.good.replace(insert=jnp.int32(0), size=jnp.int32(0)))
+        bad=state.bad.replace(insert=jnp.zeros_like(state.bad.insert),
+                              size=jnp.zeros_like(state.bad.size)),
+        good=state.good.replace(insert=jnp.zeros_like(state.good.insert),
+                                size=jnp.zeros_like(state.good.size)))
 
 
 def sample_dual(state: DualReplayState, key, batch_size: int):
@@ -168,3 +170,88 @@ def sample_dual(state: DualReplayState, key, batch_size: int):
         return jnp.where(mask, r1, r2)
 
     return jax.tree_util.tree_map(pick, state.bad.data, state.good.data)
+
+
+# --------------------------------------------------------------------- #
+# shard-local replay: leaves carry a leading shard axis
+# --------------------------------------------------------------------- #
+#
+# At scale the capacity-sharded single ring is wrong: every sample of
+# B rows gathers across the whole mesh (SURVEY.md §7 "keep per-host
+# buffers to avoid cross-host gathers").  The sharded layout gives each
+# device its OWN ring — leaves [D, capacity/D, ...], cursors [D] — and
+# every operation is a vmap of the single-ring op over the shard axis:
+# env instances append to their local shard (env axis and shard axis
+# are aligned blocks of the same data-parallel sharding) and each
+# device samples batch/D rows locally, so the lowered program contains
+# no gather collectives; the learner's gradient psum is the only
+# cross-device traffic (tests/test_parallel.py asserts this on the
+# compiled HLO).
+#
+# Distribution deviation (documented): sampling is uniform per shard
+# (batch/D rows from each shard) rather than uniform over the union —
+# identical when shards fill at the same rate, which lockstep
+# vectorized rollouts guarantee to within auto-reset jitter.
+
+
+def _shard_leading(tree, shards: int):
+    """[E, ...] leaves -> [D, E/D, ...]."""
+    def r(x):
+        e = x.shape[0]
+        assert e % shards == 0, (e, shards)
+        return x.reshape((shards, e // shards) + x.shape[1:])
+    return jax.tree_util.tree_map(r, tree)
+
+
+def _merge_leading(tree):
+    """[D, b, ...] leaves -> [D*b, ...]."""
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), tree)
+
+
+def init_sharded(example_transition, capacity: int,
+                 shards: int) -> ReplayState:
+    assert capacity % shards == 0, (capacity, shards)
+    one = init(example_transition, capacity // shards)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (shards,) + x.shape).copy(), one)
+
+
+def add_batch_sharded(state: ReplayState, transitions, shards: int,
+                      valid=None) -> ReplayState:
+    tr = _shard_leading(transitions, shards)
+    v = None if valid is None else _shard_leading(valid, shards)
+    if v is None:
+        return jax.vmap(add_batch)(state, tr)
+    return jax.vmap(add_batch)(state, tr, v)
+
+
+def sample_sharded(state: ReplayState, key, batch_size: int, shards: int):
+    assert batch_size % shards == 0, (batch_size, shards)
+    keys = jax.random.split(key, shards)
+    out = jax.vmap(sample, in_axes=(0, 0, None))(state, keys,
+                                                 batch_size // shards)
+    return _merge_leading(out)
+
+
+def init_dual_sharded(example_transition, capacity: int,
+                      shards: int) -> DualReplayState:
+    return DualReplayState(
+        bad=init_sharded(example_transition, capacity, shards),
+        good=init_sharded(example_transition, capacity, shards))
+
+
+def flush_episodes_sharded(state: DualReplayState, stage, valid, is_bad,
+                           shards: int) -> DualReplayState:
+    return jax.vmap(flush_episodes)(
+        state, _shard_leading(stage, shards),
+        _shard_leading(valid, shards), _shard_leading(is_bad, shards))
+
+
+def sample_dual_sharded(state: DualReplayState, key, batch_size: int,
+                        shards: int):
+    assert batch_size % shards == 0, (batch_size, shards)
+    keys = jax.random.split(key, shards)
+    out = jax.vmap(sample_dual, in_axes=(0, 0, None))(state, keys,
+                                                      batch_size // shards)
+    return _merge_leading(out)

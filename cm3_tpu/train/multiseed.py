@@ -110,12 +110,10 @@ def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
     tr = driver._transition(rs0, jnp.zeros((cfg.n_envs, hooks.n_agents),
                                            jnp.int32), dummy_ts, None)
     example = jax.tree_util.tree_map(lambda x: x[0], tr)
+    buf1 = driver._replay_init(example)
     if cfg.dual_buffer:
-        buf1 = replay.init_dual(example, cfg.buffer_size)
         rs = jax.vmap(lambda r: init_stage(r, example, cfg.n_envs,
                                            cfg.max_steps))(rs)
-    else:
-        buf1 = replay.init(example, cfg.buffer_size)
     buf = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (s,) + x.shape).copy()
         if hasattr(x, "shape") else x, buf1)
@@ -140,7 +138,8 @@ def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
         burst = jax.jit(jax.vmap(driver._train_burst))
         reset_buf = jax.jit(jax.vmap(
             (lambda b: replay.reset_dual(b)) if cfg.dual_buffer else
-            (lambda b: b.replace(insert=jnp.int32(0), size=jnp.int32(0)))))
+            (lambda b: b.replace(insert=jnp.zeros_like(b.insert),
+                                 size=jnp.zeros_like(b.size)))))
     else:
         chunk_train = jax.jit(jax.vmap(
             lambda ts, buf, rs, eps, key:

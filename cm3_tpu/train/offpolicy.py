@@ -137,12 +137,45 @@ class OffPolicyDriver:
         # per-gradient histograms (reference alg_credit.py:384-403)
         self._grad_snap = jax.jit(self._grad_snapshot)
 
+    # ---- replay dispatch: plain / dual x single-ring / shard-local ---- #
+
+    def _replay_init(self, example):
+        cfg = self.cfg
+        d = cfg.replay_shards
+        if cfg.dual_buffer:
+            return (replay.init_dual_sharded(example, cfg.buffer_size, d)
+                    if d > 1 else replay.init_dual(example, cfg.buffer_size))
+        return (replay.init_sharded(example, cfg.buffer_size, d)
+                if d > 1 else replay.init(example, cfg.buffer_size))
+
+    def _replay_add(self, buf, tr):
+        d = self.cfg.replay_shards
+        if d > 1:
+            return replay.add_batch_sharded(buf, tr, d)
+        return replay.add_batch(buf, tr)
+
+    def _replay_flush(self, buf, stage, valid, is_bad):
+        d = self.cfg.replay_shards
+        if d > 1:
+            return replay.flush_episodes_sharded(buf, stage, valid,
+                                                 is_bad, d)
+        return replay.flush_episodes(buf, stage, valid, is_bad)
+
+    def _replay_sample(self, buf, key):
+        cfg = self.cfg
+        d = cfg.replay_shards
+        if cfg.dual_buffer:
+            if d > 1:
+                return replay.sample_dual_sharded(buf, key, cfg.batch_size,
+                                                  d)
+            return replay.sample_dual(buf, key, cfg.batch_size)
+        if d > 1:
+            return replay.sample_sharded(buf, key, cfg.batch_size, d)
+        return replay.sample(buf, key, cfg.batch_size)
+
     def _grad_snapshot(self, ts_alg, buf, epsilon, key):
         k_s, k_u = jax.random.split(key)
-        if self.cfg.dual_buffer:
-            batch = replay.sample_dual(buf, k_s, self.cfg.batch_size)
-        else:
-            batch = replay.sample(buf, k_s, self.cfg.batch_size)
+        batch = self._replay_sample(buf, k_s)
         _, metrics = self.alg.update(ts_alg, batch, epsilon, k_u,
                                      with_grads=True)
         return metrics["grads"]
@@ -239,10 +272,10 @@ class OffPolicyDriver:
             is_bad = jax.vmap(hooks.is_bad_episode)(env_state2, ep_ret_local)
             valid = done[:, None] & (jnp.arange(t_max)[None, :]
                                      < stage_len[:, None])
-            buf = replay.flush_episodes(buf, stage, valid, is_bad)
+            buf = self._replay_flush(buf, stage, valid, is_bad)
             stage_t = jnp.where(done, 0, stage_len)
         else:
-            buf = replay.add_batch(buf, tr)
+            buf = self._replay_add(buf, tr)
 
         # auto-reset finished instances with fresh goals
         keys = prng.split_batch(k_reset, e)
@@ -307,11 +340,7 @@ class OffPolicyDriver:
 
             def upd_body(ts_alg, k):
                 k_sample, k_update = jax.random.split(k)
-                if self.cfg.dual_buffer:
-                    batch = replay.sample_dual(buf, k_sample,
-                                               self.cfg.batch_size)
-                else:
-                    batch = replay.sample(buf, k_sample, self.cfg.batch_size)
+                batch = self._replay_sample(buf, k_sample)
                 return self.alg.update(ts_alg, batch, epsilon, k_update)
 
             ts_new, metrics = jax.lax.scan(
@@ -399,12 +428,10 @@ class OffPolicyDriver:
             tr = self._transition(rs, jnp.zeros((e, n), jnp.int32), dummy_ts,
                                   None)
             example_transition = jax.tree_util.tree_map(lambda x: x[0], tr)
+        buf = self._replay_init(example_transition)
         if cfg.dual_buffer:
-            buf = replay.init_dual(example_transition, cfg.buffer_size)
             rs = init_stage(rs, example_transition, self.n_envs,
                             cfg.max_steps)
-        else:
-            buf = replay.init(example_transition, cfg.buffer_size)
 
         epsilon = max(cfg.epsilon_end, cfg.epsilon_start
                       - max(0, initial_episodes - cfg.pretrain_episodes)
@@ -467,9 +494,9 @@ class OffPolicyDriver:
                     last_ep_flushed = episodes_done
                 if cfg.dual_buffer:
                     # dual-memory occupancy (reference stdout print,
-                    # train_offpolicy.py:405-410)
-                    row["n_bad"] = int(buf.bad.size)
-                    row["n_good"] = int(buf.good.size)
+                    # train_offpolicy.py:405-410); summed over shards
+                    row["n_bad"] = int(np.sum(buf.bad.size))
+                    row["n_good"] = int(np.sum(buf.good.size))
                 if cfg.summarize and not pretrain:
                     row["_grads"] = self._grad_snap(
                         ts_alg, buf, epsilon,

@@ -50,10 +50,7 @@ class OnPolicyDriver(OffPolicyDriver):
 
         def body(ts_alg, k):
             k_s, k_u = jax.random.split(k)
-            if self.cfg.dual_buffer:
-                batch = replay.sample_dual(buf, k_s, self.cfg.batch_size)
-            else:
-                batch = replay.sample(buf, k_s, self.cfg.batch_size)
+            batch = self._replay_sample(buf, k_s)
             return self.alg.update(ts_alg, batch, epsilon, k_u)
 
         ts_alg, metrics = jax.lax.scan(
@@ -72,11 +69,9 @@ class OnPolicyDriver(OffPolicyDriver):
             rs.env_state, jnp.zeros((e, n), jnp.int32))[1]
         tr = self._transition(rs, jnp.zeros((e, n), jnp.int32), dummy_ts, None)
         example = jax.tree_util.tree_map(lambda x: x[0], tr)
+        buf = self._replay_init(example)
         if cfg.dual_buffer:
-            buf = replay.init_dual(example, cfg.buffer_size)
             rs = init_stage(rs, example, self.n_envs, cfg.max_steps)
-        else:
-            buf = replay.init(example, cfg.buffer_size)
 
         epsilon = cfg.epsilon_start
         episodes_done, last_train_eps, last_logged_period = 0, 0, 0
@@ -104,11 +99,12 @@ class OnPolicyDriver(OffPolicyDriver):
                 last_train_eps = episodes_done
                 # discard the on-policy buffer (train_onpolicy.py:372-377)
                 if cfg.dual_buffer:
-                    num_bad += int(buf.bad.size)
-                    num_good += int(buf.good.size)
+                    num_bad += int(np.sum(buf.bad.size))
+                    num_good += int(np.sum(buf.good.size))
                     buf = replay.reset_dual(buf)
                 else:
-                    buf = buf.replace(insert=jnp.int32(0), size=jnp.int32(0))
+                    buf = buf.replace(insert=jnp.zeros_like(buf.insert),
+                                      size=jnp.zeros_like(buf.size))
                 if epsilon > cfg.epsilon_end:
                     epsilon = max(cfg.epsilon_end, epsilon - cfg.epsilon_step)
 
@@ -140,8 +136,9 @@ class OnPolicyDriver(OffPolicyDriver):
                 if cfg.dual_buffer:
                     row["n_bad"] = num_bad
                     row["n_good"] = num_good
-                filled = ((int(buf.bad.size) + int(buf.good.size))
-                          if cfg.dual_buffer else int(buf.size))
+                filled = ((int(np.sum(buf.bad.size))
+                           + int(np.sum(buf.good.size)))
+                          if cfg.dual_buffer else int(np.sum(buf.size)))
                 if (cfg.summarize and filled > 0
                         and episodes_done > cfg.pretrain_episodes):
                     row["_grads"] = self._grad_snap(
