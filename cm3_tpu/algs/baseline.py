@@ -99,9 +99,9 @@ class Baseline:
             self.q_mod = nets.QComaCheckers(n_actions=self.n_actions,
                                             units=nn_cfg.Q_units)
 
-        self.opt_actor = common.adam(alg.lr_actor)
-        self.opt_v_tx = common.adam(alg.lr_V)
-        self.opt_q_tx = common.adam(alg.lr_Q)
+        self.opt_actor = common.adam(alg.lr_actor, alg.grad_clip)
+        self.opt_v_tx = common.adam(alg.lr_V, alg.grad_clip)
+        self.opt_q_tx = common.adam(alg.lr_Q, alg.grad_clip)
 
     # ------------------------------------------------------------------ #
 

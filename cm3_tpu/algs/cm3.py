@@ -101,9 +101,9 @@ class CM3:
                 n_h2=nn_cfg.Q_n_h2, stage=st)
             self.v_mod = nets.VCheckersAblation()
 
-        self.opt_actor = common.adam(alg.lr_actor)
-        self.opt_q = common.adam(alg.lr_Q)
-        self.opt_v_tx = common.adam(alg.lr_V)
+        self.opt_actor = common.adam(alg.lr_actor, alg.grad_clip)
+        self.opt_q = common.adam(alg.lr_Q, alg.grad_clip)
+        self.opt_v_tx = common.adam(alg.lr_V, alg.grad_clip)
 
     # ------------------------------------------------------------------ #
     # forward helpers (all take [B, N, ...] and return [B, N, ...])

@@ -54,8 +54,14 @@ def sample_actions(key, probs):
     return jax.random.categorical(key, jnp.log(probs + 1e-20), axis=-1)
 
 
-def adam(lr: float) -> optax.GradientTransformation:
+def adam(lr: float, clip: float = 0.0) -> optax.GradientTransformation:
     """TF1 AdamOptimizer defaults (beta1=.9, beta2=.999, eps=1e-8).
+
+    ``clip`` > 0 prepends global-norm gradient clipping — a documented
+    DEVIATION from the reference (which never clips): off-policy
+    stage-2 roadway training shows recurrent critic-divergence spikes
+    (TD loss excursions to 1e3-1e4, PERF.md round-3 diagnosis) that
+    clipping suppresses.  Default 0.0 = reference-exact.
 
     Wrapped in ``optax.flatten``: the update math is identical, but the
     moment/update elementwise ops run over ONE concatenated vector per
@@ -69,7 +75,10 @@ def adam(lr: float) -> optax.GradientTransformation:
     evidence checkpoints postdate it; (b) ``flatten``'s ravel_pytree
     would silently promote dtypes on a mixed-precision param tree, so
     ``init`` asserts the tree is dtype-uniform."""
-    base = optax.flatten(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8))
+    core = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if clip and clip > 0.0:
+        core = optax.chain(optax.clip_by_global_norm(clip), core)
+    base = optax.flatten(core)
 
     def init(params):
         dtypes = {x.dtype for x in jax.tree_util.tree_leaves(params)}

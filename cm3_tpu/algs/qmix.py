@@ -68,7 +68,7 @@ class QMIX:
         else:
             self.mixer_mod = nets.QmixMixer(n_agents=self.n_agents)
 
-        self.opt = common.adam(alg.lr_Q)
+        self.opt = common.adam(alg.lr_Q, alg.grad_clip)
 
     # ------------------------------------------------------------------ #
 

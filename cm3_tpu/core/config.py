@@ -188,6 +188,9 @@ class AlgConfig:
     lr_Q: float = 1e-3
     lr_V: float = 1e-3
     lr_actor: float = 1e-4
+    # global-norm gradient clip, 0 = off (reference-exact; see
+    # common.adam — stabilizes stage-2 roadway critic divergence)
+    grad_clip: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

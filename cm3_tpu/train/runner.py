@@ -108,7 +108,8 @@ def build(master: Dict, experiment: Optional[str] = None,
         IAC=alg_name == "iac" or bool(master.get("IAC", 0)),
         alpha=master.get("alpha", 0.7),
         lr_Q=master.get("lr_Q", 1e-3), lr_V=master.get("lr_V", 1e-3),
-        lr_actor=master.get("lr_actor", 1e-4))
+        lr_actor=master.get("lr_actor", 1e-4),
+        grad_clip=master.get("grad_clip", 0.0))
     nn_cfg = _nn_config(master, experiment, stage)
 
     if alg_name == "cm3":

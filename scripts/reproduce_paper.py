@@ -73,17 +73,18 @@ def run_cell(name: str, overrides: dict, n_episodes=None):
 # run order (stage-2 cells restore from their stage-1 winner)
 ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "particle_s2_cross", "particle_s2_merge", "particle_s2_dual",
-         "roadway_s1", "roadway_s2", "checkers_qmix", "checkers_coma",
+         "roadway_s1", "roadway_s2", "roadway_s2_stable",
+         "checkers_qmix", "checkers_coma",
          "checkers_iac", "particle_coma", "roadway_qmix"]
 DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "particle_s2_cross": "particle_s1", "particle_s2_merge":
         "particle_s1", "particle_s2_dual": "particle_s1",
-        "roadway_s2": "roadway_s1"}
+        "roadway_s2": "roadway_s1", "roadway_s2_stable": "roadway_s1"}
 
 # ablation cells run EVERY requested seed (no early stop): the ordering
 # claim (CM3 > QMIX > COMA > IAC) needs per-cell multi-seed statistics,
 # not a first-pass winner
-ALL_SEEDS = {"checkers_qmix", "checkers_coma", "checkers_iac",
+ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_coma", "checkers_iac",
              "particle_coma", "roadway_qmix"}
 
 
@@ -148,6 +149,17 @@ def cells(episodes):
                            dir_name="rd_s2", dir_restore="rd_s1",
                            train_from_nothing=0, N_train=e, dual_buffer=1,
                            period=p, N_eval=10),
+        # stabilized variant of roadway stage-2: identical regime plus
+        # global-norm grad clipping (grad_clip=10, a documented
+        # deviation — common.adam).  The reference-exact cell shows
+        # recurrent critic divergence (TD loss spikes to 1e3-1e4) and a
+        # post-peak policy collapse (PERF.md round-3 diagnosis); this
+        # cell demonstrates the fix across all seeds
+        "roadway_s2_stable": dict(experiment="roadway", stage=2, n_envs=16,
+                                  dir_name="rd_s2c", dir_restore="rd_s1",
+                                  train_from_nothing=0, N_train=e,
+                                  dual_buffer=1, grad_clip=10.0,
+                                  period=p, N_eval=10),
         # ablation baselines, trained direct on the 2-agent task
         # (the paper's CM3-vs-baseline comparison)
         "checkers_qmix": dict(experiment="checkers", stage=2, n_envs=16,
@@ -215,6 +227,9 @@ GATES = {
                    "form, train_offpolicy.py:391; scripted 2-car "
                    "baseline peaks at 9.25, _probe_roadway2_optimal.py)",
                    lambda r: (r["best_min_eval_local"] or -99) > 9.5),
+    "roadway_s2_stable": ("best min-over-agents eval > 9.5 (same gate, "
+                          "grad_clip=10 stabilized regime)",
+                          lambda r: (r["best_min_eval_local"] or -99) > 9.5),
     # directional gates: the paper's point is that the baselines learn
     # SLOWER/worse than CM3 on the 2-agent task — require clear movement
     # above the random policy (~0), not the CM3 gate
@@ -241,6 +256,7 @@ SCORE = {
     "particle_s2_dual": lambda r: r["best_reach_rate"] or 0,
     "particle_coma": lambda r: r["best_reach_rate"] or 0,
     "roadway_s2": lambda r: r["best_min_eval_local"] or -99,
+    "roadway_s2_stable": lambda r: r["best_min_eval_local"] or -99,
 }
 
 # The paper's actual ablation claim is an ORDERING, not a per-cell

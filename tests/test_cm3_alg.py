@@ -157,3 +157,31 @@ def test_checkers_experiment_update():
     a = alg.act(ts2, ts_env.obs, goals, batch["a_prev"], 0.5,
                 jax.random.PRNGKey(2))
     assert a.shape == (B, 2) and int(a.max()) < 5
+
+
+def test_grad_clip_bounds_update_magnitude():
+    """grad_clip > 0 prepends global-norm clipping (a documented
+    deviation, common.adam): with a near-zero clip norm the parameter
+    step must shrink to ~lr * clip-scale, far below the unclipped step."""
+    import dataclasses
+
+    import numpy as np
+
+    cfg = AlgConfig(n_agents=2, stage=2)
+    spec = dict(l_action=5, l_goal=2)
+    batch = _particle_batch(jax.random.PRNGKey(0), 32, 2, 2)
+
+    def step_norm(alg_cfg):
+        alg = CM3("particle", spec, alg_cfg)
+        ts = alg.init_state(jax.random.PRNGKey(1), batch["obs"],
+                            batch["state"], batch["goals"])
+        ts2, _ = alg.update(ts, batch, 0.1, jax.random.PRNGKey(2))
+        return float(sum(
+            np.abs(np.asarray(a) - np.asarray(b)).sum()
+            for a, b in zip(jax.tree_util.tree_leaves(ts.qg),
+                            jax.tree_util.tree_leaves(ts2.qg))))
+
+    free = step_norm(cfg)
+    clipped = step_norm(dataclasses.replace(cfg, grad_clip=1e-6))
+    assert clipped < free * 0.5, (clipped, free)
+    assert clipped > 0.0
