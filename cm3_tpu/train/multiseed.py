@@ -94,7 +94,8 @@ def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
     k_params = jax.vmap(lambda k: prng.for_purpose(k, prng.PARAMS))(keys)
     k_roll = jax.vmap(lambda k: prng.for_purpose(k, prng.ROLLOUT))(keys)
 
-    rs = jax.vmap(lambda k: init_rollout(hooks, k, cfg.n_envs))(k_reset)
+    rs = jax.vmap(lambda k: init_rollout(hooks, k, cfg.n_envs,
+                                         cfg.episode_log))(k_reset)
     if resume is not None:
         ts, initial_episodes = resume
         initial_episodes = np.asarray(initial_episodes, np.int64)
@@ -155,9 +156,15 @@ def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
             donate_argnums=(1,))
     eval_v = jax.jit(jax.vmap(
         lambda ts, key: driver.evaluate(ts, key, cfg.N_eval)))
+    # per-seed gradient observability (cfg.summarize): vmapped
+    # non-applied update returning raw grad pytrees, like the
+    # single-seed driver's _grad_snap (alg_credit.py:384-403)
+    grad_v = jax.jit(jax.vmap(driver._grad_snapshot)) if cfg.summarize \
+        else None
 
     history = []
     chunk_idx = 0
+    last_ep_flushed = np.asarray(initial_episodes, np.int64).copy()
     start_min = int(initial_episodes.min())
     last_period = start_min // cfg.period
     last_train_eps = start_min
@@ -210,6 +217,8 @@ def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
                             else _eps_schedule(cfg, episodes)),  # [S]
                 "r_eval_local": np.asarray(r_local),        # [S, N]
                 "r_eval_global": np.asarray(r_global),      # [S]
+                "eval_action_dist":
+                np.asarray(eval_aux["act_dist"]).reshape(s, -1),  # [S, N*A]
                 "r_train_local": np.asarray(rs.acc_ret_local)
                 / max(cfg.period, 1),                       # [S, N]
                 "r_train_global": np.asarray(rs.acc_ret_global)
@@ -220,6 +229,28 @@ def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
             # per-seed vectors
             row.update({kk: np.asarray(v) for kk, v in eval_aux.items()
                         if kk != "act_dist"})
+            if cfg.episode_log:
+                # per-seed sampled episode stream (single-seed driver's
+                # log.csv ring): list of (ids, returns) tuples
+                eplog = np.asarray(rs.eplog)
+                eplog_ep = np.asarray(rs.eplog_ep)
+                flushes = []
+                for i in range(s):
+                    from cm3_tpu.train.offpolicy import flush_eplog
+                    flushes.append(flush_eplog(
+                        eplog[i], eplog_ep[i], int(last_ep_flushed[i]),
+                        int(episodes[i])))
+                    last_ep_flushed[i] = int(episodes[i])
+                row["_episodes"] = flushes
+            filled = int(np.sum(np.asarray(buf.bad.size))
+                         + np.sum(np.asarray(buf.good.size))) \
+                if cfg.dual_buffer else int(np.sum(np.asarray(buf.size)))
+            if grad_v is not None and not fill and (not onpolicy
+                                                   or filled > 0):
+                kg = jax.vmap(lambda kk: jax.random.fold_in(
+                    kk, 1_000_000 + period_idx))(k_roll)
+                row["_grads"] = grad_v(
+                    ts, buf, jnp.asarray(row["epsilon"], jnp.float32), kg)
             history.append(row)
             if log_fn is not None:
                 log_fn(dict(row, _ts=ts))

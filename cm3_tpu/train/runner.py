@@ -294,11 +294,15 @@ def train_multiseed(master: Dict, workdir: str = ".",
                 f"roadway_stage{stage}.json")["save_threshold"]
 
         # per-seed CSV/metrics streams, like one reference process each
-        loggers = [CSVLogger(os.path.join(workdir, "log",
-                                          f"{base_dir}_{start + i}"),
-                             hooks.n_agents,
+        log_dirs = [os.path.join(workdir, "log", f"{base_dir}_{start + i}")
+                    for i in range(n_seeds)]
+        loggers = [CSVLogger(d, hooks.n_agents,
                              resume=bool(master.get("auto_resume", 0)))
-                   for i in range(n_seeds)]
+                   for d in log_dirs]
+        # per-seed TensorBoard streams when summarize:true, with param
+        # AND per-gradient histograms like the single-seed path
+        tbs = [tboard.SummaryWriter(d) if master.get("summarize") else None
+               for d in log_dirs]
         save_dirs = [os.path.join(workdir, "saved",
                                   f"{base_dir}_{start + i}")
                      for i in range(n_seeds)]
@@ -329,12 +333,32 @@ def train_multiseed(master: Dict, workdir: str = ".",
 
         def log_fn(row):
             _ts = row.pop("_ts")
+            _grads = row.pop("_grads", None)
+            _eps = row.pop("_episodes", None)
             for i in range(n_seeds):
                 r_i = {k: (np.asarray(v)[i] if np.ndim(v) >= 1
                            and np.shape(v)[0] == n_seeds else v)
                        for k, v in row.items()}
                 r_i["episode"] = int(row["episode"][i])
+                if _eps is not None:
+                    loggers[i].log_episodes(*_eps[i])
                 loggers[i].log_period(r_i)
+                if tbs[i] is not None:
+                    step = r_i["episode"]
+                    for k, v in r_i.items():
+                        if isinstance(v, (int, float)) and k != "episode":
+                            tbs[i].scalar(k, float(v), step)
+                    for a, r in enumerate(
+                            np.asarray(r_i["r_eval_local"]).ravel()):
+                        tbs[i].scalar(f"r_eval_local/agent_{a}", float(r),
+                                      step)
+                    ts_i = jax.tree_util.tree_map(lambda x: x[i], _ts)
+                    tboard.log_train_state(tbs[i], ts_i, step)
+                    if _grads is not None:
+                        g_i = jax.tree_util.tree_map(lambda x: x[i], _grads)
+                        tboard.log_train_state(tbs[i], g_i, step,
+                                               prefix="grads")
+                    tbs[i].flush()
                 # per-seed threshold-gated snapshots, on new best only
                 # (train_offpolicy.py:391-398)
                 r_eval = np.asarray(row["r_eval_local"][i])

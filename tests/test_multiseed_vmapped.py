@@ -146,3 +146,42 @@ def test_runner_vmapped_snapshots_and_resume(tmp_path):
     ts2, history2 = runner.train_multiseed(m, workdir=wd, n_episodes=80)
     assert (history2[0]["episode"] >= 40).all(), (
         "resume did not continue from the autosaved episode counts")
+
+
+def test_vmapped_observability_parity(tmp_path):
+    """VERDICT r2 item 7: the vmapped path carries the single-seed
+    driver's observability — per-seed sampled log.csv, per-seed TB event
+    files with grad histograms, and eval aux metrics in metrics.jsonl."""
+    import os
+
+    from cm3_tpu.train import runner
+
+    m = runner.cfgmod.load_json("master.json")
+    m.update(experiment="checkers", stage=1, n_envs=8, seed=11,
+             dir_name="vmo", n_seeds=2, vmapped_seeds=True, summarize=True,
+             N_train=90, period=30, N_eval=4, pretrain_episodes=8,
+             batch_size=16, buffer_size=512, steps_per_train=4,
+             updates_per_chunk=1, episode_log=256)
+    wd = str(tmp_path)
+    runner.train_multiseed(m, workdir=wd)
+    for i in (1, 2):
+        d = os.path.join(wd, "log", f"vmo_{i}")
+        # per-seed sampled episode stream
+        log_csv = os.path.join(d, "log.csv")
+        assert os.path.isfile(log_csv), log_csv
+        rows = open(log_csv).read().strip().splitlines()
+        assert rows[0].startswith("Episode,r_global")
+        assert len(rows) > 10
+        eps = [int(r.split(",")[0]) for r in rows[1:]]
+        assert eps == sorted(eps) and len(set(eps)) == len(eps)
+        # per-seed TB event stream with param AND grad histograms
+        ev = [f for f in os.listdir(d) if "tfevents" in f]
+        assert ev, f"no TB events in {d}"
+        import struct
+        data = open(os.path.join(d, ev[0]), "rb").read()
+        assert b"grads/" in data, "per-gradient histograms missing"
+        # eval aux (action-dist) landed in the per-seed metrics stream
+        import json
+        mrows = [json.loads(l) for l in
+                 open(os.path.join(d, "metrics.jsonl"))]
+        assert any("eval_action_dist" in r for r in mrows)
