@@ -414,37 +414,43 @@ class CM3:
         a_next = common.sample_actions(key, probs_pair[0])
         a_next_1h = common.one_hot(a_next, a_dim)
 
-        # ---- Q_global critic update (:586-614) ----
+        # ---- Q_global + Q_credit critic updates (:586-673), fused ----
+        # Both critics train on PRE-update params with independent
+        # (disjoint) parameter trees, so one backward pass over the sum
+        # of their TD losses yields gradients identical to two separate
+        # passes while halving the sequential backward kernel chain —
+        # the single-seed learner is op-latency bound (PERF.md).
         q_tgt_next = self._q_global(ts.qg_tgt, state_next, obs_next, goals,
                                     a_next_1h)
         y_g = rl + gamma * q_tgt_next * done_mult[:, None]
         y_g = jax.lax.stop_gradient(y_g)
+        if self.use_credit:
+            qc_tgt_next = self._q_credit_pairs(
+                ts.qc_tgt, state_next, obs_next, goals, a_next_1h)  # [B,M,N]
+            y_c = jax.lax.stop_gradient(
+                rl[:, None, :] + gamma * qc_tgt_next
+                * done_mult[:, None, None])
 
-        def qg_loss_fn(p):
-            q = self._q_global(p, state, obs, goals, a_1h)
-            return jnp.mean(jnp.square(y_g - q)), q
+        def critics_loss_fn(ps):
+            pg, pc = ps
+            q = self._q_global(pg, state, obs, goals, a_1h)
+            loss_qg = jnp.mean(jnp.square(y_g - q))
+            if self.use_credit:
+                qc = self._q_credit_pairs(pc, state, obs, goals, a_1h)
+                loss_qc = jnp.mean(jnp.square(y_c - qc))
+            else:
+                loss_qc = 0.0
+            return loss_qg + loss_qc, (loss_qg, loss_qc, q)
 
-        (loss_qg, q_actual), g_qg = jax.value_and_grad(
-            qg_loss_fn, has_aux=True)(ts.qg)
+        qc_new, opt_qc = ts.qc, ts.opt_qc
+        (_, (loss_qg, loss_qc, q_actual)), (g_qg, g_qc) = jax.value_and_grad(
+            critics_loss_fn, has_aux=True)(
+            (ts.qg, ts.qc if self.use_credit else None))
         upd, opt_qg = self.opt_q.update(g_qg, ts.opt_qg, ts.qg)
         qg_new = optax.apply_updates(ts.qg, upd)
         metrics["loss_Q_global"] = loss_qg
         q_actual = jax.lax.stop_gradient(q_actual)   # [B, N]
-
-        # ---- Q_credit critic update (:616-673) ----
-        qc_new, opt_qc = ts.qc, ts.opt_qc
         if self.use_credit:
-            qc_tgt_next = self._q_credit_pairs(
-                ts.qc_tgt, state_next, obs_next, goals, a_next_1h)  # [B,M,N]
-            y_c = (rl[:, None, :] + gamma * qc_tgt_next
-                   * done_mult[:, None, None])
-            y_c = jax.lax.stop_gradient(y_c)
-
-            def qc_loss_fn(p):
-                q = self._q_credit_pairs(p, state, obs, goals, a_1h)
-                return jnp.mean(jnp.square(y_c - q))
-
-            loss_qc, g_qc = jax.value_and_grad(qc_loss_fn)(ts.qc)
             upd_c, opt_qc = self.opt_q.update(g_qc, ts.opt_qc, ts.qc)
             qc_new = optax.apply_updates(ts.qc, upd_c)
             metrics["loss_Q_credit"] = loss_qc
