@@ -63,3 +63,51 @@ def test_dual_fallback_when_one_empty():
     st = buffer.add_episode(st, t_good, jnp.ones(6, bool), jnp.bool_(False))
     batch = buffer.sample_dual(st, jax.random.PRNGKey(1), 8)
     assert (np.asarray(batch["a"]) == 2).all()
+
+
+def test_sharded_dual_flush_and_sample():
+    """flush_episodes_sharded routes each env block's episodes into ITS
+    shard's bad/good memory; sample_dual_sharded draws the 50/50 mix per
+    shard."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cm3_tpu.replay import buffer as replay
+
+    shards, e, t = 4, 8, 3
+    example = {"x": jnp.zeros((), jnp.float32)}
+    buf = replay.init_dual_sharded(example, 16 * shards, shards)
+    # env i writes values i*10+t; envs 0..7 -> shard i//2; odd envs bad
+    stage = {"x": (jnp.arange(e, dtype=jnp.float32)[:, None] * 10
+                   + jnp.arange(t, dtype=jnp.float32)[None, :])}
+    valid = jnp.ones((e, t), bool)
+    is_bad = (jnp.arange(e) % 2).astype(bool)
+    buf = replay.flush_episodes_sharded(buf, stage, valid, is_bad, shards)
+
+    np.testing.assert_array_equal(np.asarray(buf.bad.size),
+                                  np.full(shards, t))
+    np.testing.assert_array_equal(np.asarray(buf.good.size),
+                                  np.full(shards, t))
+    for d in range(shards):
+        good_env, bad_env = 2 * d, 2 * d + 1
+        np.testing.assert_array_equal(
+            np.asarray(buf.good.data["x"])[d, :t], good_env * 10
+            + np.arange(t))
+        np.testing.assert_array_equal(
+            np.asarray(buf.bad.data["x"])[d, :t], bad_env * 10
+            + np.arange(t))
+
+    batch = replay.sample_dual_sharded(buf, jax.random.PRNGKey(0), 8 * shards,
+                                       shards)
+    got = np.asarray(batch["x"]).reshape(shards, 8)
+    for d in range(shards):
+        allowed = set((2 * d) * 10 + np.arange(t)) | set(
+            (2 * d + 1) * 10 + np.arange(t))
+        assert set(got[d]).issubset(allowed), (d, got[d])
+        # 50/50 mix with fallback (replay_buffer_dual.py:39-63): bad
+        # holds only t=3 rows < half=4, so exactly 3 rows come from bad
+        assert set(got[d][:t]).issubset(
+            set((2 * d + 1) * 10 + np.arange(t))), got[d]
+        assert set(got[d][t:]).issubset(
+            set((2 * d) * 10 + np.arange(t))), got[d]
