@@ -118,24 +118,26 @@ def bench_train(mesh: Mesh, per_device_envs: int = 256,
 
     n_dev = mesh.devices.size
     n_envs = n_dev * per_device_envs
+    # shard-local replay: one ring per device, appends/samples local
+    # (replay_shards; the only collective left is the gradient psum)
+    capacity = ((20000 + n_dev - 1) // n_dev) * n_dev
     env = Checkers(CheckersEnvConfig(n_agents=2, agents_r=(0, 2),
                                      agents_c=(8, 8), max_steps=50))
     alg = CM3("checkers", env.spec(), AlgConfig(n_agents=2, stage=2))
-    cfg = TrainConfig(n_envs=n_envs, batch_size=128, buffer_size=20000,
-                      steps_per_train=10, updates_per_chunk=8)
+    cfg = TrainConfig(n_envs=n_envs, batch_size=128, buffer_size=capacity,
+                      steps_per_train=10, updates_per_chunk=8,
+                      replay_shards=n_dev if n_dev > 1 else 1)
     hooks = make_hooks("checkers", env)
     driver = OffPolicyDriver(hooks, alg, cfg)
     rs = init_rollout(hooks, jax.random.PRNGKey(0), n_envs)
     ts = alg.init_state(jax.random.PRNGKey(1), rs.obs, rs.state, rs.goals)
-    rs = meshmod.shard_leading_axis(rs, mesh, n_envs)
-    ts = jax.device_put(ts, meshmod.replicated(mesh))
     dummy = jax.vmap(env.step)(rs.env_state,
                                jnp.zeros((n_envs, 2), jnp.int32))[1]
     tr = driver._transition(rs, jnp.zeros((n_envs, 2), jnp.int32), dummy,
                             None)
-    buf = replay.init(jax.tree_util.tree_map(lambda x: x[0], tr),
-                      cfg.buffer_size)
-    buf = meshmod.shard_leading_axis(buf, mesh, cfg.buffer_size)
+    buf = driver._replay_init(jax.tree_util.tree_map(lambda x: x[0], tr))
+    ts, buf, rs = meshmod.shard_driver_state(mesh, ts, buf, rs, n_envs,
+                                             replay_shards=cfg.replay_shards)
 
     ts, buf, rs, _ = driver._chunk_train(ts, buf, rs, 0.2,
                                          jax.random.PRNGKey(2))
