@@ -239,9 +239,16 @@ GATES = {
                       lambda r: (r["best_eval_global"] or -99) > 2.0),
     "checkers_iac": ("best_eval_global > 2.0 (directional, paper Fig. 3)",
                      lambda r: (r["best_eval_global"] or -99) > 2.0),
-    "particle_coma": ("best goal-reach rate >= 0.25 (directional; random "
-                      "policy reaches ~0)",
-                      lambda r: (r["best_reach_rate"] or 0) >= 0.25),
+    # COMA trained direct on the 4-agent antipodal task is EXPECTED to
+    # fail multi-goal reach (the paper's central claim for the
+    # curriculum; measured best reach 0.05 vs CM3's 1.0 — the ordering
+    # gate carries that comparison).  The per-cell gate is a sanity
+    # check that the baseline still learns directed movement: a noop/
+    # random policy scores ~-328 global on this layout
+    # (scripts/_probe_particle.py calibration).
+    "particle_coma": ("best_eval_global > -200 (sanity: learns toward "
+                      "landmarks; reach ordering vs CM3 is the claim)",
+                      lambda r: (r["best_eval_global"] or -999) > -200),
     "roadway_qmix": ("best_eval_global > 5.0 (directional; timeout-only "
                      "policies score <= -20)",
                      lambda r: (r["best_eval_global"] or -99) > 5.0),
