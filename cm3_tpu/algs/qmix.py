@@ -13,7 +13,10 @@ Adam (the reference's ``mixer_op`` minimizes over all trainables,
 Documented deviation: the reference Checkers variant feeds the MAIN
 net's q-values into the TARGET mixer (``alg_qmix_checkers.py:106`` — a
 latent bug flagged in SURVEY.md §2.1); we implement the intended
-semantics (target q-values into the target mixer) for both variants.
+semantics (target q-values into the target mixer) for both variants by
+default, with ``AlgConfig.qmix_ref_bug`` reproducing the reference's
+exact wiring for paper-parity ablation runs (the fixed QMIX is
+measurably stronger — PERF.md round 3).
 
 Epsilon-greedy is per-agent action override OUTSIDE the network
 (``alg_qmix.py:160-184``), not policy-probability mixing.
@@ -168,8 +171,22 @@ class QMIX:
         q_next_tgt = self._agent_qs(ts.agent_tgt, obs_next, goals,
                                     a_prev_next)
         a_star = jnp.argmax(q_next_tgt, axis=-1)
-        q_sel_tgt = jnp.take_along_axis(q_next_tgt, a_star[..., None],
-                                        axis=-1)[..., 0]       # [B, N]
+        if cfg.qmix_ref_bug:
+            # reference-parity mode: alg_qmix_checkers.py:106 builds
+            # Mixer_target on mixer_q_input — the MAIN agent nets' q
+            # (here: main nets on obs', selected at the target argmax
+            # a*, exactly the train_step feed at :355-374).  The agent-q
+            # component of the TD target then tracks the main nets
+            # instantly instead of the slow target copy — measurably
+            # weaker (PERF.md round-3 QMIX finding); default off.
+            q_next_main = self._agent_qs(ts.agent, obs_next, goals,
+                                         a_prev_next)
+            q_sel_tgt = jnp.take_along_axis(
+                q_next_main, a_star[..., None], axis=-1)[..., 0]
+        else:
+            q_sel_tgt = jnp.take_along_axis(
+                q_next_tgt, a_star[..., None], axis=-1)[..., 0]  # [B, N]
+        q_sel_tgt = jax.lax.stop_gradient(q_sel_tgt)
         q_tot_tgt = self._mix(ts.mixer_tgt, q_sel_tgt, state_next, goals)
         r_total = jnp.sum(batch["rl"], axis=1)
         y = jax.lax.stop_gradient(

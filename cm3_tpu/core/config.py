@@ -191,6 +191,11 @@ class AlgConfig:
     # global-norm gradient clip, 0 = off (reference-exact; see
     # common.adam — stabilizes stage-2 roadway critic divergence)
     grad_clip: float = 0.0
+    # reproduce the reference checkers QMIX target-mixer bug
+    # (alg_qmix_checkers.py:106: MAIN agent q-values into the target
+    # mixer).  Default False = intended QMIX semantics, which are
+    # MEASURABLY STRONGER than the paper's baseline (PERF.md round 3)
+    qmix_ref_bug: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

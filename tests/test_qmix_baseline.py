@@ -198,3 +198,32 @@ def test_qmix_and_coma_roadway_update():
                     jax.random.PRNGKey(2))
         assert a.shape == (B, n)
         assert bool(((a >= 0) & (a < 5)).all())
+
+
+def test_qmix_ref_bug_mode_changes_target_and_runs():
+    """AlgConfig.qmix_ref_bug reproduces the reference checkers wiring
+    (MAIN agent q-values into the target mixer, alg_qmix_checkers.py:106):
+    same batch, same params -> a different TD target than the fixed
+    semantics, and a working update."""
+    import dataclasses
+
+    import numpy as np
+
+    cfg = AlgConfig(n_agents=2, stage=2)
+    spec = dict(l_action=5, l_goal=2)
+    batch = _particle_batch(jax.random.PRNGKey(3), 32, 2)
+
+    def one_update(c):
+        alg = QMIX("particle", spec, c)
+        ts = alg.init_state(jax.random.PRNGKey(1), batch["obs"],
+                            batch["state"], batch["goals"])
+        # desync main vs target so the two wirings actually differ
+        ts2, _ = alg.update(ts, batch, 0.1, jax.random.PRNGKey(2))
+        ts3, m = alg.update(ts2, batch, 0.1, jax.random.PRNGKey(4))
+        return ts3, float(m["loss_mixer"])
+
+    ts_fixed, loss_fixed = one_update(cfg)
+    ts_bug, loss_bug = one_update(dataclasses.replace(cfg,
+                                                      qmix_ref_bug=True))
+    assert np.isfinite(loss_fixed) and np.isfinite(loss_bug)
+    assert loss_fixed != loss_bug, "bug mode produced identical target"
