@@ -126,3 +126,20 @@ def restore(path: str, like):
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, like)
+
+
+def merge_non_opt(fresh, restored):
+    """Graft every non-optimizer field of ``restored`` into ``fresh``
+    (same TrainState class).  Used when a checkpoint's optimizer-state
+    layout differs from the configured one (the flattened Adam chain's
+    structure depends on AlgConfig.grad_clip): init-time restores —
+    curriculum grafts, same-stage warm starts — only consume params and
+    target nets, so the optimizer restarts fresh."""
+    import dataclasses
+
+    kw = {}
+    for f in dataclasses.fields(fresh):
+        src = fresh if (f.name == "opt" or f.name.startswith("opt_")) \
+            else restored
+        kw[f.name] = getattr(src, f.name)
+    return type(fresh)(**kw)

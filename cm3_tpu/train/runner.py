@@ -157,12 +157,35 @@ def train_function(master: Dict, workdir: str = ".",
     # ---- curriculum restore (train_offpolicy.py:154-198) ----
     train_from_nothing = master.get("train_from_nothing", 1)
     restore_same_stage = master.get("restore_same_stage", 0)
+
+    def _restore_flexible(restore_dir, mk_state, m):
+        """Restore with the configured template; if the checkpoint's
+        optimizer-state layout differs (grad_clip changes the flattened
+        Adam chain's structure), retry with grad_clip toggled off and
+        graft the non-optimizer fields — init-time restores only
+        consume params/targets, the optimizer restarts fresh."""
+        template = mk_state(m)
+        try:
+            return checkpoint.restore(restore_dir, template)
+        except ValueError:
+            alt = dict(m)
+            alt["grad_clip"] = 0.0 if m.get("grad_clip") else 10.0
+            restored = checkpoint.restore(restore_dir, mk_state(alt))
+            return checkpoint.merge_non_opt(template, restored)
+
+    def _mk_state(m):
+        _, alg_, hooks_, tc_ = build(m)
+        rs_ = init_rollout(hooks_, prng.for_purpose(key, prng.RESET),
+                           tc_.n_envs)
+        return alg_.init_state(prng.for_purpose(key, prng.PARAMS),
+                               rs_.obs, rs_.state, rs_.goals)
+
     if not train_from_nothing:
         restore_dir = os.path.join(workdir, "saved",
                                    master.get("dir_restore", dir_name),
                                    master.get("model_name", "model_final"))
         if restore_same_stage:
-            ts = checkpoint.restore(restore_dir, ts)
+            ts = _restore_flexible(restore_dir, _mk_state, dict(master))
         elif stage == 2:
             # rebuild the stage-1 TrainState structure to restore into,
             # then graft the shared-architecture weights.  The stage-1
@@ -174,12 +197,7 @@ def train_function(master: Dict, workdir: str = ".",
             m1 = dict(master)
             m1["stage"] = 1
             m1.pop("particle_config", None)
-            d1, alg1, hooks1, tc1 = build(m1)
-            rs1 = init_rollout(hooks1, prng.for_purpose(key, prng.RESET),
-                               tc1.n_envs)
-            ts1 = alg1.init_state(prng.for_purpose(key, prng.PARAMS),
-                                  rs1.obs, rs1.state, rs1.goals)
-            ts1 = checkpoint.restore(restore_dir, ts1)
+            ts1 = _restore_flexible(restore_dir, _mk_state, m1)
             if isinstance(alg, CM3):
                 ts = checkpoint.stage2_init_cm3(ts, ts1.actor, ts1.qg)
             elif isinstance(alg, Baseline):

@@ -128,3 +128,31 @@ def test_graft_shape_mismatch_raises():
                                  ts1.actor)
     with pytest.raises(ValueError, match="graft shape mismatch"):
         checkpoint.graft_params(ts1.actor, bad)
+
+
+def test_stage2_graft_across_grad_clip_structures(tmp_path):
+    """A stage-1 checkpoint trained WITHOUT grad clipping must restore
+    into a stage-2 run configured WITH grad_clip (and vice versa): the
+    flattened Adam chain's state layout differs, so the runner falls
+    back to a params/targets graft with a fresh optimizer
+    (runner._restore_flexible + checkpoint.merge_non_opt)."""
+    from cm3_tpu.train import runner
+
+    wd = str(tmp_path)
+    m = runner.cfgmod.load_json("master.json")
+    m.update(experiment="checkers", n_envs=8, seed=5, N_train=60,
+             period=30, N_eval=2, pretrain_episodes=8, batch_size=16,
+             buffer_size=256, steps_per_train=4, updates_per_chunk=1,
+             episode_log=0)
+    m1 = dict(m, stage=1, dir_name="s1nc", grad_clip=0.0)
+    runner.train_function(m1, workdir=wd, verbose=False)
+    # no-clip ckpt -> clip config
+    m2 = dict(m, stage=2, dir_name="s2c", dir_restore="s1nc",
+              train_from_nothing=0, grad_clip=10.0)
+    ts, stats = runner.train_function(m2, workdir=wd, verbose=False)
+    assert stats["episodes"] >= 60
+    # clip ckpt -> no-clip config (same-stage warm start)
+    m3 = dict(m, stage=2, dir_name="s2nc", dir_restore="s2c",
+              train_from_nothing=0, restore_same_stage=1, grad_clip=0.0)
+    ts3, stats3 = runner.train_function(m3, workdir=wd, verbose=False)
+    assert stats3["episodes"] >= 60
