@@ -290,6 +290,35 @@ def train_function(master: Dict, workdir: str = ".",
     return ts, stats
 
 
+def _restore_stage1_state(master: Dict, workdir: str, key):
+    """Restore the stage-1 winner checkpoint for a stage-2 graft
+    (train_offpolicy.py:154-198), tolerant of optimizer-layout drift
+    (see train_function._restore_flexible)."""
+    restore_dir = os.path.join(workdir, "saved",
+                               master.get("dir_restore",
+                                          master.get("dir_name", "try")),
+                               master.get("model_name", "model_final"))
+
+    def mk(m):
+        _, alg_, hooks_, tc_ = build(m)
+        rs_ = init_rollout(hooks_, prng.for_purpose(key, prng.RESET),
+                           tc_.n_envs)
+        return alg_.init_state(prng.for_purpose(key, prng.PARAMS),
+                               rs_.obs, rs_.state, rs_.goals)
+
+    m1 = dict(master)
+    m1["stage"] = 1
+    m1.pop("particle_config", None)
+    template = mk(m1)
+    try:
+        return checkpoint.restore(restore_dir, template)
+    except ValueError:
+        alt = dict(m1)
+        alt["grad_clip"] = 0.0 if m1.get("grad_clip") else 10.0
+        restored = checkpoint.restore(restore_dir, mk(alt))
+        return checkpoint.merge_non_opt(template, restored)
+
+
 def train_multiseed(master: Dict, workdir: str = ".",
                     n_episodes: Optional[int] = None):
     """n_seeds replicas, seed_base + i, dir_name_<i>
@@ -334,6 +363,32 @@ def train_multiseed(master: Dict, workdir: str = ".",
         autosave = os.path.join(workdir, "saved", f"{base_dir}_vmapped",
                                 "model_autosave")
         resume = None
+        # curriculum graft into EVERY seed replica (vmapped counterpart
+        # of train_function's stage-2 restore): per-seed fresh states,
+        # the stage-1 winner's shared-architecture weights grafted into
+        # each, passed to train_vmapped_seeds as the initial state
+        if (not master.get("train_from_nothing", 1) and stage == 2
+                and not master.get("restore_same_stage", 0)):
+            key0 = prng.root_key(master.get("seed", 12341))
+            ts1 = _restore_stage1_state(master, workdir, key0)
+            base_seed = master.get("seed", 12341)
+            kseeds = [prng.root_key(base_seed + i) for i in range(n_seeds)]
+            singles = []
+            for kk in kseeds:
+                rs_i = init_rollout(hooks, prng.for_purpose(kk, prng.RESET),
+                                    train_cfg.n_envs)
+                ts_i = alg.init_state(prng.for_purpose(kk, prng.PARAMS),
+                                      rs_i.obs, rs_i.state, rs_i.goals)
+                if isinstance(alg, CM3):
+                    ts_i = checkpoint.stage2_init_cm3(ts_i, ts1.actor,
+                                                      ts1.qg)
+                elif isinstance(alg, Baseline):
+                    ts_i = checkpoint.stage2_init_baseline(
+                        ts_i, ts1.actor, getattr(ts1, "v", None))
+                singles.append(ts_i)
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *singles)
+            resume = (stacked, np.zeros(n_seeds, np.int64))
         if master.get("auto_resume", 0) and os.path.isdir(autosave):
             key0 = prng.root_key(master.get("seed", 12341))
             rs0 = init_rollout(hooks, prng.for_purpose(key0, prng.RESET),

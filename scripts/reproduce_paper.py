@@ -286,11 +286,13 @@ SCORE = {
 # passes iff best-over-seeds of each cell is >= the next cell's, i.e. it
 # FAILS if any ablation beats CM3 (or the paper's baseline order flips).
 ORDERING = [
-    # paper-parity row: the QMIX baseline with the reference's exact
-    # target-mixer wiring (alg_qmix_checkers.py:106).  The FIXED QMIX
-    # is compared in its own row below — round 3 found it beats the
-    # paper's baseline and can overtake CM3 on this small task
-    # (PERF.md "QMIX target-mixer bug" finding)
+    # Both checkers QMIX wirings are compared: the reference's exact
+    # buggy target-mixer (alg_qmix_checkers.py:106, checkers_qmix_ref)
+    # and the intended semantics (checkers_qmix).  Round-3 result: BOTH
+    # reach best 24.0 > CM3's 21.0, so the paper's CM3>QMIX checkers
+    # ordering does not reproduce under either wiring and these rows
+    # report FAIL honestly (PERF.md round-3 QMIX finding); the
+    # particle and roadway orderings hold
     ("checkers (reference-parity QMIX)", "best_eval_global",
      ["checkers_s2", "checkers_qmix_ref", "checkers_coma",
       "checkers_iac"]),

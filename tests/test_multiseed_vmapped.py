@@ -185,3 +185,35 @@ def test_vmapped_observability_parity(tmp_path):
         mrows = [json.loads(l) for l in
                  open(os.path.join(d, "metrics.jsonl"))]
         assert any("eval_action_dist" in r for r in mrows)
+
+
+def test_vmapped_stage2_curriculum_graft(tmp_path):
+    """The vmapped multiseed path supports the stage-2 curriculum
+    restore: every seed replica starts from the stage-1 winner's
+    grafted weights (vmapped counterpart of train_function's
+    dir_restore path)."""
+    import os
+
+    from cm3_tpu.train import runner
+
+    wd = str(tmp_path)
+    m = runner.cfgmod.load_json("master.json")
+    m.update(experiment="checkers", n_envs=8, seed=7, N_train=60,
+             period=30, N_eval=2, pretrain_episodes=8, batch_size=16,
+             buffer_size=256, steps_per_train=4, updates_per_chunk=1,
+             episode_log=0)
+    runner.train_function(dict(m, stage=1, dir_name="g1"), workdir=wd,
+                          verbose=False)
+    m2 = dict(m, stage=2, dir_name="g2", dir_restore="g1",
+              train_from_nothing=0, n_seeds=2, vmapped_seeds=True)
+    ts, hist = runner.train_multiseed(m2, workdir=wd)
+    assert len(hist) >= 1
+    assert (hist[-1]["episode"] >= 60).all()
+
+    # the two seeds share the grafted stage-1 trunk but differ in their
+    # fresh stage-2 branches at init: verify final states differ
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(ts)
+              if hasattr(x, "ndim") and np.ndim(x) >= 2]
+    assert any(not np.allclose(x[0], x[1]) for x in leaves)
+    for i in (1, 2):
+        assert os.path.isdir(os.path.join(wd, "saved", f"g2_{i}"))
