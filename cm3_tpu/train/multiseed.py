@@ -229,6 +229,10 @@ def train_vmapped_seeds(hooks, alg, cfg, n_seeds: int, base_seed: int,
             # per-seed vectors
             row.update({kk: np.asarray(v) for kk, v in eval_aux.items()
                         if kk != "act_dist"})
+            # last chunk's learning metrics (losses), per-seed [S] —
+            # parity with the single-seed driver's period row
+            row.update({kk: np.asarray(v) for kk, v in metrics.items()
+                        if kk != "grads"})
             if cfg.episode_log:
                 # per-seed sampled episode stream (single-seed driver's
                 # log.csv ring): list of (ids, returns) tuples
