@@ -180,6 +180,11 @@ class Baseline:
     # ------------------------------------------------------------------ #
 
     def init_state(self, key, example_obs, example_state, example_goals):
+        with nets.init_scheme(self.cfg.init_scheme):
+            return self._init_state(key, example_obs, example_state,
+                                    example_goals)
+
+    def _init_state(self, key, example_obs, example_state, example_goals):
         obs, state, goals = example_obs, example_state, example_goals
         b, n = goals.shape[0], goals.shape[1]
         k_a, k_v, k_q = jax.random.split(key, 3)

@@ -278,6 +278,11 @@ class CM3:
     def init_state(self, key, example_obs, example_state, example_goals):
         """Initialize all parameter trees and optimizers from example
         [B, N, ...] pytrees (one env instance's reset output, batched)."""
+        with nets.init_scheme(self.cfg.init_scheme):
+            return self._init_state(key, example_obs, example_state,
+                                    example_goals)
+
+    def _init_state(self, key, example_obs, example_state, example_goals):
         obs = example_obs
         state = example_state
         goals = example_goals
@@ -516,6 +521,17 @@ class CM3:
         upd_pi, opt_actor = self.opt_actor.update(g_pi, ts.opt_actor, ts.actor)
         actor_new = optax.apply_updates(ts.actor, upd_pi)
         metrics["policy_loss"] = loss_pi
+
+        # stage-2 retention: keep the grafted actor (and its Adam state)
+        # frozen for the first actor_freeze_updates updates while the
+        # fresh critic branches burn in (cfg docstring; PERF.md round-3
+        # post-graft-drift diagnosis).  The critic updates above are
+        # unaffected.
+        if cfg.actor_freeze_updates:
+            live = ts.step >= cfg.actor_freeze_updates
+            actor_new, opt_actor = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old),
+                (actor_new, opt_actor), (ts.actor, ts.opt_actor))
 
         if with_grads:
             grads = {"Policy": g_pi, "Q_global": g_qg}

@@ -118,6 +118,11 @@ class QMIX:
     # ------------------------------------------------------------------ #
 
     def init_state(self, key, example_obs, example_state, example_goals):
+        with nets.init_scheme(self.cfg.init_scheme):
+            return self._init_state(key, example_obs, example_state,
+                                    example_goals)
+
+    def _init_state(self, key, example_obs, example_state, example_goals):
         obs, state, goals = example_obs, example_state, example_goals
         b, n = goals.shape[0], goals.shape[1]
         a_prev = jnp.zeros((b, n), jnp.int32)

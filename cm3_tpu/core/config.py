@@ -196,6 +196,19 @@ class AlgConfig:
     # mixer).  Default False = intended QMIX semantics, which are
     # MEASURABLY STRONGER than the paper's baseline (PERF.md round 3)
     qmix_ref_bug: bool = False
+    # parameter-init scheme (ordering-ablation knob): "ref" (rounds 1-3
+    # default), "tf1" (exact TF1 parity: h2 combination bias glorot),
+    # "trunc001" (all kernels truncated-normal 0.01) — see the audit in
+    # cm3_tpu/models/nets.py
+    init_scheme: str = "ref"
+    # stage-2 retention recipe (CM3 only): skip the first K actor/Adam
+    # applications so the fresh stage-2 critic branches burn in on data
+    # from the frozen grafted actor before policy-gradient updates begin
+    # (counters the post-graft drift diagnosed in PERF.md round 3;
+    # 0 = reference-exact, no freeze).  Counted in UPDATES: with the
+    # reference's 1-update-per-10-single-env-steps ratio, K updates
+    # correspond to ~K*10/max_steps episodes.
+    actor_freeze_updates: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

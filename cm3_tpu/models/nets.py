@@ -12,6 +12,21 @@ reference nets get, since only ``fc2/fc3`` scopes override it), while the
 branch-combination matrices mirror ``networks.get_variable:78-81``
 (truncated normal sigma=0.01).  Biases are zeros.
 
+Init-scheme ablation (``init_scheme`` context, wired from
+``AlgConfig.init_scheme``): layer-by-layer audit of the reference vs this
+module —
+  * ``tf.layers.dense``           -> glorot-uniform kernel, zero bias: MATCHES
+  * ``tf.contrib.layers.conv2d``  -> xavier kernel, zero bias: MATCHES
+  * ``get_variable(W_*)``         -> trunc-normal 0.01: MATCHES (Branch.W_h2)
+  * ``tf.get_variable('b',[n])``  -> TF1 default glorot-uniform over a rank-1
+    shape (limit sqrt(3/n)) — the ONE layer class where the default here
+    (zeros) differs from TF1 (actor_checkers:571, actor_staged:506,
+    actor_particle:533, Qmix_single_checkers:632).
+Schemes: "ref" (default, as shipped rounds 1-3), "tf1" (exact TF1 parity —
+the h2 combination bias ``b`` drawn glorot-uniform), "trunc001" (ALL
+kernels truncated-normal sigma=0.01, the blanket perturbation from the
+round-3 verdict's ordering-ablation plan).
+
 All shapes stay in float32 params; callers may run the forward in bf16 via
 ``jax.default_matmul_precision`` — these nets are tiny (<=1e6 params), so
 the MXU win comes from batching, not dtype.
@@ -29,14 +44,61 @@ trunc001 = nn.initializers.truncated_normal(stddev=0.01)
 zeros = nn.initializers.zeros_init()
 
 
+def _glorot_rank1(key, shape, dtype=jnp.float32):
+    """TF1 glorot_uniform on a rank-1 shape [n]: fan_in = fan_out = n,
+    limit sqrt(6/(n+n)) = sqrt(3/n) (tf.get_variable default in TF1;
+    flax's xavier_uniform requires rank>=2 so this is hand-rolled)."""
+    import jax as _jax
+    limit = (3.0 / shape[0]) ** 0.5
+    return _jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+_INIT_SCHEME = ["ref"]
+
+
+class init_scheme:
+    """Context manager selecting the parameter-init scheme during
+    ``Module.init`` tracing (init-time only; ``apply`` never reads
+    initializers).  See the module docstring for the audit table."""
+
+    def __init__(self, name: str = "ref"):
+        if name not in ("ref", "tf1", "trunc001"):
+            raise ValueError(f"unknown init scheme {name!r}")
+        self.name = name
+
+    def __enter__(self):
+        _INIT_SCHEME.append(self.name)
+
+    def __exit__(self, *exc):
+        _INIT_SCHEME.pop()
+
+
+def _kinit(key, shape, dtype=jnp.float32):
+    """Scheme-dispatched kernel initializer for layers that are
+    glorot-uniform in the reference (dense/conv kernels, mixer
+    hyper_b_1)."""
+    if _INIT_SCHEME[-1] == "trunc001":
+        return trunc001(key, shape, dtype)
+    return glorot(key, shape, dtype)
+
+
+def _binit(key, shape, dtype=jnp.float32):
+    """Scheme-dispatched initializer for the h2 combination bias ``b``
+    (reference ``tf.get_variable('b', [n_h2])``): zeros under "ref"/
+    "trunc001", TF1's rank-1 glorot under "tf1"."""
+    if _INIT_SCHEME[-1] == "tf1":
+        return _glorot_rank1(key, shape, dtype)
+    return zeros(key, shape, dtype)
+
+
 def _dense(feats, name=None, use_bias=True):
-    return nn.Dense(feats, kernel_init=glorot, bias_init=zeros, name=name,
+    return nn.Dense(feats, kernel_init=_kinit, bias_init=zeros, name=name,
                     use_bias=use_bias)
 
 
 def _conv(feats, kernel, name=None):
     return nn.Conv(feats, kernel_size=tuple(kernel), strides=(1, 1),
-                   padding="SAME", kernel_init=glorot, bias_init=zeros,
+                   padding="SAME", kernel_init=_kinit, bias_init=zeros,
                    name=name)
 
 
@@ -101,7 +163,7 @@ class ActorParticle(nn.Module):
         if self.stage > 1:
             h2 = h2 + Branch(self.n_h1_others, self.n_h2,
                              name="stage2")(obs_others)
-        b = self.param("b", zeros, (self.n_h2,))
+        b = self.param("b", _binit, (self.n_h2,))
         h2 = nn.relu(h2 + b)
         logits = _dense(self.n_actions, name="out")(h2)
         return nn.softmax(logits)
@@ -126,7 +188,7 @@ class ActorRoadway(nn.Module):
         if self.stage > 1:
             h2 = h2 + ConvBranch((4), (5, 3), self.n_conv_reduced, self.n_h2,
                                  name="stage2")(t_obs)
-        b = self.param("b", zeros, (self.n_h2,))
+        b = self.param("b", _binit, (self.n_h2,))
         h2 = nn.relu(h2 + b)
         logits = _dense(self.n_actions, name="out")(h2)
         return nn.softmax(logits)
@@ -150,7 +212,7 @@ class ActorCheckers(nn.Module):
         h2 = Branch(self.n_h1, self.n_h2, name="self_branch")(x)
         if self.stage > 1:
             h2 = h2 + Branch(self.n_h1, self.n_h2, name="stage2")(obs_others)
-        b = self.param("b", zeros, (self.n_h2,))
+        b = self.param("b", _binit, (self.n_h2,))
         h2 = nn.relu(h2 + b)
         logits = _dense(self.n_actions, name="out")(h2)
         return nn.softmax(logits)
@@ -579,7 +641,7 @@ class QmixSingleCheckers(nn.Module):
         x = jnp.concatenate([conv_lin, v_obs_self, a_prev, goal], axis=-1)
         h2 = Branch(self.n_h1, self.n_h2, name="self_branch")(x)
         h2 = h2 + Branch(self.n_h1, self.n_h2, name="others_branch")(v_obs_others)
-        b = self.param("b", zeros, (self.n_h2,))
+        b = self.param("b", _binit, (self.n_h2,))
         h2 = nn.relu(h2 + b)
         return _dense(self.n_actions, name="out")(h2)
 
@@ -597,7 +659,7 @@ class QmixMixer(nn.Module):
         d = sg.shape[-1]
         w1 = jnp.abs(sg @ self.param(
             "hyper_w_1", trunc001, (d, self.embed_dim * self.n_agents)))
-        b1 = sg @ self.param("hyper_b_1", glorot, (d, self.embed_dim))
+        b1 = sg @ self.param("hyper_b_1", _kinit, (d, self.embed_dim))
         w1 = w1.reshape(-1, self.n_agents, self.embed_dim)
         hidden = nn.elu(
             jnp.einsum("bn,bne->be", agent_qs, w1) + b1)
@@ -625,7 +687,7 @@ class QmixMixerCheckers(nn.Module):
         d = sg.shape[-1]
         w1 = jnp.abs(sg @ self.param(
             "hyper_w_1", trunc001, (d, self.embed_dim * self.n_agents)))
-        b1 = sg @ self.param("hyper_b_1", glorot, (d, self.embed_dim))
+        b1 = sg @ self.param("hyper_b_1", _kinit, (d, self.embed_dim))
         w1 = w1.reshape(-1, self.n_agents, self.embed_dim)
         hidden = nn.elu(jnp.einsum("bn,bne->be", agent_qs, w1) + b1)
         w_final = jnp.abs(sg @ self.param(

@@ -110,7 +110,9 @@ def build(master: Dict, experiment: Optional[str] = None,
         lr_Q=master.get("lr_Q", 1e-3), lr_V=master.get("lr_V", 1e-3),
         lr_actor=master.get("lr_actor", 1e-4),
         grad_clip=master.get("grad_clip", 0.0),
-        qmix_ref_bug=bool(master.get("qmix_ref_bug", 0)))
+        qmix_ref_bug=bool(master.get("qmix_ref_bug", 0)),
+        init_scheme=master.get("init_scheme", "ref"),
+        actor_freeze_updates=int(master.get("actor_freeze_updates", 0)))
     nn_cfg = _nn_config(master, experiment, stage)
 
     if alg_name == "cm3":

@@ -58,6 +58,12 @@ def run_cell(name: str, overrides: dict, n_episodes=None):
     min_loc = [float(min(r["r_eval_local"])) for r in hist]
     reach = [float(r["eval_reach_rate"]) for r in hist
              if "eval_reach_rate" in r]
+    # "final plateau" statistics for the retention gates: mean over the
+    # last 10 eval periods (~1000 episodes) — an end-of-training
+    # statistic (NOT best-over-training) that is robust to single
+    # 10-episode-eval noise
+    t10 = lambda xs: (round(sum(xs[-10:]) / len(xs[-10:]), 3)
+                      if xs else None)
     return dict(cell=name, minutes=round(minutes, 2),
                 episodes=stats["episodes"],
                 final_eval_global=round(glob[-1], 3) if glob else None,
@@ -66,27 +72,39 @@ def run_cell(name: str, overrides: dict, n_episodes=None):
                 if last_loc is not None else None,
                 best_min_eval_local=round(max(min_loc), 3) if min_loc
                 else None,
+                final10_min_eval_local=t10(min_loc),
                 best_reach_rate=round(max(reach), 3) if reach else None,
-                final_reach_rate=round(reach[-1], 3) if reach else None)
+                final_reach_rate=round(reach[-1], 3) if reach else None,
+                final10_reach_rate=t10(reach))
 
 
 # run order (stage-2 cells restore from their stage-1 winner)
 ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "particle_s2_cross", "particle_s2_merge", "particle_s2_dual",
          "roadway_s1", "roadway_s2", "roadway_s2_stable",
+         "roadway_s2_retain", "particle_s2_retain",
          "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
-         "checkers_iac", "particle_coma", "roadway_qmix"]
+         "checkers_iac", "particle_coma", "roadway_qmix",
+         "checkers_s2_lrA", "checkers_s2_tn", "checkers_s2_e1",
+         "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"]
 DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "particle_s2_cross": "particle_s1", "particle_s2_merge":
         "particle_s1", "particle_s2_dual": "particle_s1",
-        "roadway_s2": "roadway_s1", "roadway_s2_stable": "roadway_s1"}
+        "roadway_s2": "roadway_s1", "roadway_s2_stable": "roadway_s1",
+        "roadway_s2_retain": "roadway_s1",
+        "particle_s2_retain": "particle_s1",
+        "checkers_s2_lrA": "checkers_s1", "checkers_s2_tn": "checkers_s1",
+        "checkers_s2_e1": "checkers_s1"}
 
 # ablation cells run EVERY requested seed (no early stop): the ordering
 # claim (CM3 > QMIX > COMA > IAC) needs per-cell multi-seed statistics,
 # not a first-pass winner
 ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "checkers_coma", "checkers_iac",
-             "particle_coma", "roadway_qmix"}
+             "particle_coma", "roadway_qmix",
+             "roadway_s2_retain", "particle_s2_retain",
+             "checkers_s2_lrA", "checkers_s2_tn", "checkers_s2_e1",
+             "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"}
 
 
 def cells(episodes):
@@ -185,6 +203,80 @@ def cells(episodes):
                                   qmix_ref_bug=1, dir_name="ck_qmixb",
                                   train_from_nothing=1, N_train=e,
                                   period=p, N_eval=10),
+        # ---- round-4 retention cells (verdict item 3): stage-2 WITHOUT
+        # relying on snapshot selection.  Recipe: (i) freeze the grafted
+        # actor while the fresh stage-2 critic branches burn in
+        # (actor_freeze_updates; AlgConfig docstring has the
+        # updates<->episodes conversion), (ii) restart exploration at a
+        # lower epsilon post-graft (the grafted policies are already
+        # near-optimal — the reference's 0.5 restart is what erodes
+        # them, PERF.md round-3 diagnosis), (iii) keep grad_clip=10 on
+        # roadway against the late-run critic divergence.  Gates are on
+        # FINAL-plateau (last ~1000 episodes) statistics, not best.
+        # roadway: ~4 updates/episode at n_envs=16 -> 8000 updates
+        # ~= 2000 episodes frozen (the diagnosed erosion window)
+        "roadway_s2_retain": dict(experiment="roadway", stage=2, n_envs=16,
+                                  dir_name="rd_s2r", dir_restore="rd_s1",
+                                  train_from_nothing=0, N_train=e,
+                                  dual_buffer=1, grad_clip=10.0,
+                                  actor_freeze_updates=8000,
+                                  epsilon_start=0.2,
+                                  period=p, N_eval=10),
+        # particle (on-policy bursts, 24 epochs/10 episodes -> ~2.4
+        # updates/episode): 5000 updates ~= 2000 episodes frozen
+        "particle_s2_retain": dict(experiment="particle",
+                                   particle_config="stage2_antipodal",
+                                   stage=2, n_envs=16, dir_name="pt_s2r",
+                                   dir_restore="pt_s1",
+                                   train_from_nothing=0, N_train=e,
+                                   actor_freeze_updates=5000,
+                                   epsilon_start=0.2,
+                                   period=p, N_eval=10),
+        # ---- round-4 checkers-ordering ablation (verdict item 1): one
+        # variable at a time vs the round-3 baseline cells.
+        # (c) CM3 lr micro-sweep: the one reference-neighborhood knob
+        # with headroom (CM3 best 21.0 vs QMIX 24.0 = task optimum)
+        "checkers_s2_lrA": dict(experiment="checkers", stage=2, n_envs=16,
+                                dir_name="ck_s2lr", dir_restore="ck_s1",
+                                train_from_nothing=0, N_train=e,
+                                lr_actor=3e-4,
+                                period=p, N_eval=10),
+        # (a) init scheme: blanket truncated-normal(0.01) on all kernels
+        "checkers_s2_tn": dict(experiment="checkers", stage=2, n_envs=16,
+                               dir_name="ck_s2tn", dir_restore="ck_s1",
+                               train_from_nothing=0, N_train=e,
+                               init_scheme="trunc001",
+                               period=p, N_eval=10),
+        "checkers_qmix_tn": dict(experiment="checkers", stage=2, n_envs=16,
+                                 alg_name="qmix", dir_name="ck_qmtn",
+                                 train_from_nothing=1, N_train=e,
+                                 init_scheme="trunc001",
+                                 period=p, N_eval=10),
+        # (a') exact-TF1 init parity (the ONE differing layer is the h2
+        # combination bias b — nets.py audit table)
+        "checkers_qmix_tf1": dict(experiment="checkers", stage=2,
+                                  n_envs=16, alg_name="qmix",
+                                  dir_name="ck_qmtf",
+                                  train_from_nothing=1, N_train=e,
+                                  init_scheme="tf1",
+                                  period=p, N_eval=10),
+        # (b) the reference's LITERAL single-env pacing: n_envs=1, one
+        # update per 10 env steps, per-episode epsilon decay
+        # (train_offpolicy.py:346-356).  chunks_per_sync=32 batches
+        # dispatches (same schedule semantics evaluated on-device; 32
+        # chunks = 320 env steps ~= 6.4 episodes, far finer than the
+        # 100-episode eval period, so cadence is preserved; without it
+        # the 250k per-chunk host syncs dominate wall-clock)
+        "checkers_qmix_e1": dict(experiment="checkers", stage=2, n_envs=1,
+                                 alg_name="qmix", dir_name="ck_qme1",
+                                 train_from_nothing=1, N_train=e,
+                                 chunks_per_sync=32,
+                                 period=p, N_eval=10),
+        "checkers_s2_e1": dict(experiment="checkers", stage=2, n_envs=1,
+                               dir_name="ck_s2e1", dir_restore="ck_s1",
+                               train_from_nothing=0, N_train=e,
+                               chunks_per_sync=32,
+                               period=p, N_eval=10),
         # non-checkers ablation cells (the paper compares baselines on
         # all three domains; reference alg selection at
         # train_offpolicy.py:135-150): COMA on the 4-agent antipodal
@@ -241,6 +333,48 @@ GATES = {
     "roadway_s2_stable": ("best min-over-agents eval > 9.5 (same gate, "
                           "grad_clip=10 stabilized regime)",
                           lambda r: (r["best_min_eval_local"] or -99) > 9.5),
+    # retention cells gate on the FINAL plateau (mean of the last ~10
+    # eval periods), NOT best-over-training — the round-3 verdict's
+    # "retention without snapshot selection" criterion.  Calibration of
+    # the roadway threshold: the per-period min-agent eval statistic is
+    # NOISY (10 greedy episodes with prob_random=0.2 goal/lane draws) —
+    # a FROZEN grafted near-optimal policy plateaus at ~8.2-8.5 on the
+    # last-10-period mean (measured, PERF.md round 4), and the scripted
+    # lane-seeking 2-car baseline's mean of the same statistic is 8.1
+    # (_probe_roadway2_optimal); 9.5+ values are upper-tail draws only
+    # reachable by max/best semantics.  The plateau gate therefore
+    # requires beating the scripted baseline's MEAN, i.e. the policy
+    # remains near-optimal to the end without snapshot selection.
+    "roadway_s2_retain": ("final-plateau min-over-agents eval > 8.1 "
+                          "(last-10-period mean; scripted 2-car "
+                          "baseline's mean of the same statistic, "
+                          "_probe_roadway2_optimal; 9.5 is unreachable "
+                          "as a mean — see PERF.md round-4 calibration)",
+                          lambda r: (r.get("final10_min_eval_local")
+                                     or -99) > 8.1),
+    "particle_s2_retain": ("final-plateau goal-reach rate >= 0.75 "
+                           "(last-10-period mean)",
+                           lambda r: (r.get("final10_reach_rate") or 0)
+                           >= 0.75),
+    # ordering-ablation cells: CM3 variants keep the curriculum gate;
+    # QMIX variants keep the directional gate.  Their real payload is
+    # the best_eval_global comparison against the round-3 baselines
+    # (PERF.md round-4 ordering ablation).
+    "checkers_s2_lrA": ("best sum eval > 9.0 (CM3, lr_actor=3e-4)",
+                        lambda r: (r["best_eval_global"] or -99) > 9.0),
+    "checkers_s2_tn": ("best sum eval > 9.0 (CM3, trunc001 init)",
+                       lambda r: (r["best_eval_global"] or -99) > 9.0),
+    "checkers_s2_e1": ("best sum eval > 9.0 (CM3, n_envs=1 literal "
+                       "pacing)",
+                       lambda r: (r["best_eval_global"] or -99) > 9.0),
+    "checkers_qmix_tn": ("best_eval_global > 2.0 (QMIX, trunc001 init)",
+                         lambda r: (r["best_eval_global"] or -99) > 2.0),
+    "checkers_qmix_tf1": ("best_eval_global > 2.0 (QMIX, exact-TF1 "
+                          "b-bias init)",
+                          lambda r: (r["best_eval_global"] or -99) > 2.0),
+    "checkers_qmix_e1": ("best_eval_global > 2.0 (QMIX, n_envs=1 "
+                         "literal pacing)",
+                         lambda r: (r["best_eval_global"] or -99) > 2.0),
     # directional gates: the paper's point is that the baselines learn
     # SLOWER/worse than CM3 on the 2-agent task — require clear movement
     # above the random policy (~0), not the CM3 gate
@@ -278,6 +412,8 @@ SCORE = {
     "particle_coma": lambda r: r["best_reach_rate"] or 0,
     "roadway_s2": lambda r: r["best_min_eval_local"] or -99,
     "roadway_s2_stable": lambda r: r["best_min_eval_local"] or -99,
+    "roadway_s2_retain": lambda r: r.get("final10_min_eval_local") or -99,
+    "particle_s2_retain": lambda r: r.get("final10_reach_rate") or 0,
 }
 
 # The paper's actual ablation claim is an ORDERING, not a per-cell
