@@ -30,6 +30,14 @@ rewarded +0.05 * min-distance-to-food (a positive term for being FAR);
 Per-agent observation vectors are heterogeneous; ``obs()`` returns a
 [N, max_dim] array zero-padded on the right, with true lengths in
 ``Scenario.obs_dims``.
+
+Consciously dropped reference behavior (divergence ledger):
+``MultiDiscrete`` action spaces (``multiagent/multi_discrete.py:1-45``)
+and the multi-head force branch (``environment.py:177-225``) — upstream
+gym plumbing that no shipped scenario enables (the fork forces
+``discrete_action_input`` single-head indices); this port supports the
+single discrete move head + one-hot comm head only.  Everything else in
+the upstream suite has a working counterpart here.
 """
 
 from __future__ import annotations

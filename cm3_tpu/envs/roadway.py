@@ -44,6 +44,17 @@ Semantics parity notes (cites into the reference):
     (multicar_simple.py:304-320);
   * terminal cars are removed: frozen state, invisible to others, zero
     rewards (multicar_simple.py:394-426).
+
+Consciously dropped reference behaviors (divergence ledger):
+  * dense-traffic reset-restart fallback (multicar_simple.py:438-465
+    returns a done=True sentinel and restarts the episode when a
+    controlled car arrives before all have departed) — N/A here: the
+    kinematic reset has no background traffic and constructs all cars
+    directly, so it cannot fail;
+  * ``log_error.txt`` error-append stream (multicar_simple.py:292-294,
+    479-482 logs out-of-grid observation writes and bad resets) — the
+    grid writers here clip/drop out-of-range indices by construction
+    (mode="drop" scatters), so the error conditions are unrepresentable.
 """
 
 from __future__ import annotations

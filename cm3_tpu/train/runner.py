@@ -479,6 +479,45 @@ def train_multiseed(master: Dict, workdir: str = ".",
     return results
 
 
+def render_episodes(master: Dict, ts, workdir: str = ".",
+                    n_episodes: int = 3, restore: bool = False):
+    """Dump ``n_episodes`` greedy-policy episodes as animated SVG files
+    under ``workdir/render/<dir_name>/`` — the headless counterpart of
+    the reference's pyglet episode viewer
+    (``multiagent/rendering.py:1-345``; SURVEY.md §2.4 item 3).  Pass
+    ``ts=None`` with ``restore=True`` to render a saved ``model_final``
+    from ``workdir/saved/<dir_name>``."""
+    from cm3_tpu.envs import render as rndr
+
+    experiment = master.get("experiment", "checkers")
+    _, alg, hooks, train_cfg = build(master)
+    key = prng.root_key(master.get("seed", 12341))
+    if ts is None and restore:
+        rs = init_rollout(hooks, prng.for_purpose(key, prng.RESET),
+                          train_cfg.n_envs)
+        template = alg.init_state(prng.for_purpose(key, prng.PARAMS),
+                                  rs.obs, rs.state, rs.goals)
+        ts = checkpoint.restore(
+            os.path.join(workdir, "saved", master.get("dir_name", "try"),
+                         master.get("model_name", "model_final")), template)
+    env_cfg = hooks.env.cfg
+    max_steps = getattr(env_cfg, "max_steps", None) or env_cfg.max_step
+    out_dir = os.path.join(workdir, "render", master.get("dir_name", "try"))
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(n_episodes):
+        states = rndr.collect_episode(
+            hooks, alg, ts, jax.random.fold_in(
+                prng.for_purpose(key, prng.ROLLOUT), 777_000 + i),
+            max_steps)
+        svg = rndr.render_episode_svg(experiment, states, env_cfg)
+        path = os.path.join(out_dir, f"episode_{i}.svg")
+        with open(path, "w") as f:
+            f.write(svg)
+        paths.append(path)
+    return paths
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="cm3_tpu/configs/master.json")
@@ -489,6 +528,12 @@ def main():
     p.add_argument("--alg", default=None)
     p.add_argument("--workdir", default=".")
     p.add_argument("--multiseed", action="store_true")
+    p.add_argument("--render-episodes", type=int, default=0, metavar="K",
+                   help="after training (or, with --render-only, from the "
+                   "saved model_final) dump K greedy episodes as animated "
+                   "SVGs under workdir/render/<dir_name>/")
+    p.add_argument("--render-only", action="store_true",
+                   help="skip training; restore model_final and render")
     args = p.parse_args()
 
     master = cfgmod.load_json(args.config)
@@ -501,10 +546,20 @@ def main():
     if args.alg:
         master["alg_name"] = args.alg
 
+    if args.render_only:
+        paths = render_episodes(master, None, args.workdir,
+                                args.render_episodes or 3, restore=True)
+        print("\n".join(paths))
+        return
+
     if args.multiseed:
         train_multiseed(master, args.workdir, args.episodes)
     else:
-        train_function(master, args.workdir, args.episodes)
+        ts, _ = train_function(master, args.workdir, args.episodes)
+        if args.render_episodes:
+            paths = render_episodes(master, ts, args.workdir,
+                                    args.render_episodes)
+            print("\n".join(paths))
 
 
 if __name__ == "__main__":
