@@ -87,3 +87,48 @@ def shard_driver_state(mesh: Mesh, ts, buf, rs, n_envs: int,
     else:
         buf = place_buf(buf)
     return ts, buf, rs
+
+
+# ---- multi-controller-safe state construction -------------------------- #
+# Under multi-process execution, building GLOBAL arrays on the host and
+# device_put-ing them is not controller-safe; the safe pattern is to
+# create state INSIDE jit with explicit out_shardings (every controller
+# runs the same program; XLA materializes each shard on its owner).
+# These helpers compute the out_shardings pytrees from jax.eval_shape
+# results, mirroring shard_leading_axis / shard_driver_state placement.
+
+
+def leading_axis_shardings(mesh: Mesh, shapes, leading: int,
+                           axis: str = "data"):
+    """shapes (eval_shape pytree) -> NamedSharding pytree: leaves whose
+    leading dim == ``leading`` are data-sharded, the rest replicated."""
+    data, repl = data_sharding(mesh, axis), replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda s: data if (getattr(s, "ndim", 0) >= 1
+                           and s.shape[0] == leading) else repl, shapes)
+
+
+def driver_state_shardings(mesh: Mesh, shapes, n_envs: int,
+                           replay_shards: int = 1):
+    """Shardings for an eval_shape of ``(ts, buf, rs)`` under the same
+    placement rules as ``shard_driver_state``."""
+    ts_s, buf_s, rs_s = shapes
+    repl = replicated(mesh)
+    data = data_sharding(mesh)
+    ts_sh = jax.tree_util.tree_map(lambda _: repl, ts_s)
+    rs_sh = leading_axis_shardings(mesh, rs_s, n_envs)
+
+    def ring(b):
+        if replay_shards > 1:
+            return b.replace(
+                data=leading_axis_shardings(mesh, b.data, replay_shards),
+                insert=data, size=data)
+        cap = jax.tree_util.tree_leaves(b.data)[0].shape[0]
+        return b.replace(data=leading_axis_shardings(mesh, b.data, cap),
+                         insert=repl, size=repl)
+
+    if hasattr(buf_s, "bad"):
+        buf_sh = buf_s.replace(bad=ring(buf_s.bad), good=ring(buf_s.good))
+    else:
+        buf_sh = ring(buf_s)
+    return ts_sh, buf_sh, rs_sh
