@@ -104,6 +104,24 @@ class CM3:
         self.opt_actor = common.adam(alg.lr_actor, alg.grad_clip)
         self.opt_q = common.adam(alg.lr_Q, alg.grad_clip)
         self.opt_v_tx = common.adam(alg.lr_V, alg.grad_clip)
+        if alg.fused_opt and alg.grad_clip:
+            raise ValueError(
+                "fused_opt requires grad_clip == 0 (the global-norm clip "
+                "is a different program shape; see AlgConfig)")
+
+    def _opt_step(self, tx, lr, opt_state, params, tgt, grads):
+        """Adam apply + soft target update for one network: a single
+        fused Pallas kernel when cfg.fused_opt (ops/fused_opt.py), the
+        optax chain + tree_map otherwise.  Identical math either way
+        (soft update always consumes the POST-update params,
+        alg_credit.py:775 ordering)."""
+        if self.cfg.fused_opt:
+            from cm3_tpu.ops import fused_opt
+            return fused_opt.adam_polyak(opt_state, params, tgt, grads,
+                                         lr, self.cfg.tau)
+        upd, new_opt = tx.update(grads, opt_state, params)
+        new_p = optax.apply_updates(params, upd)
+        return new_p, common.soft_update(tgt, new_p, self.cfg.tau), new_opt
 
     # ------------------------------------------------------------------ #
     # forward helpers (all take [B, N, ...] and return [B, N, ...])
@@ -447,21 +465,21 @@ class CM3:
                 loss_qc = 0.0
             return loss_qg + loss_qc, (loss_qg, loss_qc, q)
 
-        qc_new, opt_qc = ts.qc, ts.opt_qc
+        qc_new, qc_tgt_new, opt_qc = ts.qc, ts.qc_tgt, ts.opt_qc
         (_, (loss_qg, loss_qc, q_actual)), (g_qg, g_qc) = jax.value_and_grad(
             critics_loss_fn, has_aux=True)(
             (ts.qg, ts.qc if self.use_credit else None))
-        upd, opt_qg = self.opt_q.update(g_qg, ts.opt_qg, ts.qg)
-        qg_new = optax.apply_updates(ts.qg, upd)
+        qg_new, qg_tgt_new, opt_qg = self._opt_step(
+            self.opt_q, cfg.lr_Q, ts.opt_qg, ts.qg, ts.qg_tgt, g_qg)
         metrics["loss_Q_global"] = loss_qg
         q_actual = jax.lax.stop_gradient(q_actual)   # [B, N]
         if self.use_credit:
-            upd_c, opt_qc = self.opt_q.update(g_qc, ts.opt_qc, ts.qc)
-            qc_new = optax.apply_updates(ts.qc, upd_c)
+            qc_new, qc_tgt_new, opt_qc = self._opt_step(
+                self.opt_q, cfg.lr_Q, ts.opt_qc, ts.qc, ts.qc_tgt, g_qc)
             metrics["loss_Q_credit"] = loss_qc
 
         # ---- V ablation critic update (:675-697) ----
-        v_new, opt_v = ts.v, ts.opt_v
+        v_new, v_tgt_new, opt_v = ts.v, ts.v_tgt, ts.opt_v
         v_res = None
         if self.use_v:
             v_tgt_next = self._v_forward(ts.v_tgt, state_next, goals)
@@ -473,8 +491,8 @@ class CM3:
                 return jnp.mean(jnp.square(y_v - v))
 
             loss_v, g_v = jax.value_and_grad(v_loss_fn)(ts.v)
-            upd_v, opt_v = self.opt_v_tx.update(g_v, ts.opt_v, ts.v)
-            v_new = optax.apply_updates(ts.v, upd_v)
+            v_new, v_tgt_new, opt_v = self._opt_step(
+                self.opt_v_tx, cfg.lr_V, ts.opt_v, ts.v, ts.v_tgt, g_v)
             v_res = jax.lax.stop_gradient(
                 self._v_forward(v_new, state, goals))  # post-update (:695)
             metrics["loss_V"] = loss_v
@@ -518,20 +536,23 @@ class CM3:
             return -jnp.mean(jnp.sum(log_pi * sum_a, axis=1))
 
         loss_pi, g_pi = jax.value_and_grad(policy_loss_fn)(ts.actor)
-        upd_pi, opt_actor = self.opt_actor.update(g_pi, ts.opt_actor, ts.actor)
-        actor_new = optax.apply_updates(ts.actor, upd_pi)
+        actor_new, actor_tgt_new, opt_actor = self._opt_step(
+            self.opt_actor, cfg.lr_actor, ts.opt_actor, ts.actor,
+            ts.actor_tgt, g_pi)
         metrics["policy_loss"] = loss_pi
 
         # stage-2 retention: keep the grafted actor (and its Adam state)
         # frozen for the first actor_freeze_updates updates while the
         # fresh critic branches burn in (cfg docstring; PERF.md round-3
         # post-graft-drift diagnosis).  The critic updates above are
-        # unaffected.
+        # unaffected; the target keeps blending toward the FROZEN actor.
         if cfg.actor_freeze_updates:
             live = ts.step >= cfg.actor_freeze_updates
-            actor_new, opt_actor = jax.tree_util.tree_map(
+            frozen_tgt = common.soft_update(ts.actor_tgt, ts.actor, cfg.tau)
+            actor_new, opt_actor, actor_tgt_new = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(live, new, old),
-                (actor_new, opt_actor), (ts.actor, ts.opt_actor))
+                (actor_new, opt_actor, actor_tgt_new),
+                (ts.actor, ts.opt_actor, frozen_tgt))
 
         if with_grads:
             grads = {"Policy": g_pi, "Q_global": g_qg}
@@ -541,18 +562,13 @@ class CM3:
                 grads["V"] = g_v
             metrics["grads"] = grads
 
-        # ---- soft target updates (:775) ----
-        tau = cfg.tau
+        # ---- soft target updates (:775; computed in _opt_step from the
+        # post-update params, fused with the Adam apply) ----
         new_ts = CM3State(
-            actor=actor_new,
-            actor_tgt=common.soft_update(ts.actor_tgt, actor_new, tau),
-            qg=qg_new, qg_tgt=common.soft_update(ts.qg_tgt, qg_new, tau),
-            qc=qc_new,
-            qc_tgt=(None if qc_new is None
-                    else common.soft_update(ts.qc_tgt, qc_new, tau)),
-            v=v_new,
-            v_tgt=(None if v_new is None
-                   else common.soft_update(ts.v_tgt, v_new, tau)),
+            actor=actor_new, actor_tgt=actor_tgt_new,
+            qg=qg_new, qg_tgt=qg_tgt_new,
+            qc=qc_new, qc_tgt=qc_tgt_new,
+            v=v_new, v_tgt=v_tgt_new,
             opt_actor=opt_actor, opt_qg=opt_qg, opt_qc=opt_qc, opt_v=opt_v,
             step=ts.step + 1)
         return new_ts, metrics

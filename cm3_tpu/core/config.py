@@ -201,6 +201,13 @@ class AlgConfig:
     # "trunc001" (all kernels truncated-normal 0.01) — see the audit in
     # cm3_tpu/models/nets.py
     init_scheme: str = "ref"
+    # fuse each network's Adam moments + parameter apply + Polyak target
+    # blend into ONE Pallas kernel per network (ops/fused_opt.py) —
+    # the update tail is kernel-launch-bound at these model sizes
+    # (PERF.md).  Opt-in; requires grad_clip == 0 (the global-norm clip
+    # is a different program shape).  Numerics match optax to float32
+    # rounding (tests/test_fused_opt.py).
+    fused_opt: bool = False
     # stage-2 retention recipe (CM3 only): skip the first K actor/Adam
     # applications so the fresh stage-2 critic branches burn in on data
     # from the frozen grafted actor before policy-gradient updates begin
