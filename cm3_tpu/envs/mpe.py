@@ -31,13 +31,15 @@ Per-agent observation vectors are heterogeneous; ``obs()`` returns a
 [N, max_dim] array zero-padded on the right, with true lengths in
 ``Scenario.obs_dims``.
 
-Consciously dropped reference behavior (divergence ledger):
-``MultiDiscrete`` action spaces (``multiagent/multi_discrete.py:1-45``)
-and the multi-head force branch (``environment.py:177-225``) — upstream
-gym plumbing that no shipped scenario enables (the fork forces
-``discrete_action_input`` single-head indices); this port supports the
-single discrete move head + one-hot comm head only.  Everything else in
-the upstream suite has a working counterpart here.
+MultiDiscrete / multi-head actions (``multiagent/multi_discrete.py:
+1-45`` + ``environment.py:177-225``): supported via
+``mpe_step_multihead`` / ``MPEEnv.step_multihead`` — the one-hot (or
+soft) 5-vector force composition and the continuous comm head, with
+the upstream branch's own direction convention preserved (it differs
+from the index branch's; see the ``mpe_step_multihead`` docstring).
+No shipped scenario enables this mode (the fork forces
+``discrete_action_input``), so the index path remains the default.
+Every behavior in the upstream suite now has a working counterpart.
 """
 
 from __future__ import annotations
@@ -101,15 +103,12 @@ def _pair_forces(world: MPEWorld, pos):
     return jnp.sum(f, axis=1)                            # force ON a
 
 
-def mpe_step(world: MPEWorld, state: MPEState, move, comm=None):
-    """One physics step.  move: [N] int32 in 0..4 (noop/-x/+x/-y/+y,
-    environment.py:194-214); comm: [N] int32 symbol (ignored for silent
-    agents / dim_c == 0)."""
+def _integrate(world: MPEWorld, state: MPEState, u, c):
+    """Shared physics integrator: agent control forces u [N, 2]
+    (pre-scaled by accel) + pairwise contact forces -> damped velocity,
+    max-speed clamp, position update (core.py:165-196); c [N, dim_c]
+    with silent agents zeroed."""
     n, e = world.n_agents, world.n_entities
-    a = jnp.asarray(move, jnp.int32)
-    ux = (a == 2).astype(jnp.float32) - (a == 1).astype(jnp.float32)
-    uy = (a == 4).astype(jnp.float32) - (a == 3).astype(jnp.float32)
-    u = jnp.stack([ux, uy], -1) * jnp.asarray(world.accel)[:, None]
     force = jnp.zeros((e, 2)).at[:n].set(u) + _pair_forces(world, state.pos)
 
     movable = jnp.asarray(world.movable)[:, None]
@@ -121,15 +120,54 @@ def mpe_step(world: MPEWorld, state: MPEState, move, comm=None):
                     vel / jnp.maximum(speed, 1e-12) * vmax, vel)
     vel = jnp.where(movable, vel, state.vel)
     pos = jnp.where(movable, state.pos + vel * world.dt, state.pos)
-
     if world.dim_c > 0:
-        cm = jnp.zeros((n,), jnp.int32) if comm is None \
-            else jnp.asarray(comm, jnp.int32)
-        c = jax.nn.one_hot(cm, world.dim_c)
         c = jnp.where(jnp.asarray(world.silent)[:, None], 0.0, c)
     else:
         c = state.c
     return state.replace(pos=pos, vel=vel, c=c, steps=state.steps + 1)
+
+
+def mpe_step(world: MPEWorld, state: MPEState, move, comm=None):
+    """One physics step.  move: [N] int32 in 0..4 (noop/-x/+x/-y/+y,
+    environment.py:194-214); comm: [N] int32 symbol (ignored for silent
+    agents / dim_c == 0)."""
+    a = jnp.asarray(move, jnp.int32)
+    ux = (a == 2).astype(jnp.float32) - (a == 1).astype(jnp.float32)
+    uy = (a == 4).astype(jnp.float32) - (a == 3).astype(jnp.float32)
+    u = jnp.stack([ux, uy], -1) * jnp.asarray(world.accel)[:, None]
+    if world.dim_c > 0:
+        cm = jnp.zeros((world.n_agents,), jnp.int32) if comm is None \
+            else jnp.asarray(comm, jnp.int32)
+        c = jax.nn.one_hot(cm, world.dim_c)
+    else:
+        c = state.c
+    return _integrate(world, state, u, c)
+
+
+def mpe_step_multihead(world: MPEWorld, state: MPEState, move_hot,
+                       comm_vec=None):
+    """MultiDiscrete / multi-head action composition
+    (multi_discrete.py:1-45 + environment.py:177-225, the previously
+    unported branch): the movement head is a one-hot (or soft) 5-vector
+    composed as u = [h1-h2, h3-h4] * accel (discrete_action_space force
+    sum, environment.py:205-207), and the comm head is a continuous
+    [N, dim_c] vector passed straight into ``c`` (:219-221) instead of
+    a symbol index.  Upstream quirk preserved: the one-hot branch's
+    direction convention differs from the index branch's (index 1 means
+    -x at :194-197 but h[1] means +x at :205-207) — so an exact one-hot
+    with the (1,2)/(3,4) pairs swapped reproduces ``mpe_step``
+    bit-for-bit (tests/test_mpe_multihead.py); soft vectors express the
+    upstream Box/MultiDiscrete blends."""
+    h = jnp.asarray(move_hot, jnp.float32)          # [N, 5]
+    u = jnp.stack([h[:, 1] - h[:, 2], h[:, 3] - h[:, 4]], -1) \
+        * jnp.asarray(world.accel)[:, None]
+    if world.dim_c > 0 and comm_vec is not None:
+        c = jnp.asarray(comm_vec, jnp.float32)
+    elif world.dim_c > 0:
+        c = jnp.zeros((world.n_agents, world.dim_c))
+    else:
+        c = state.c
+    return _integrate(world, state, u, c)
 
 
 def _uniform(key, n, lo=-1.0, hi=1.0):
@@ -565,5 +603,13 @@ class MPEEnv:
 
     def step(self, state, move, comm=None):
         s = mpe_step(self.scenario.world, state, move, comm)
+        done = s.steps >= self.max_steps
+        return s, (self.scenario.obs(s), self.scenario.reward(s), done)
+
+    def step_multihead(self, state, move_hot, comm_vec=None):
+        """MultiDiscrete/Box-style multi-head actions: one-hot (or
+        soft) force head + continuous comm head (mpe_step_multihead)."""
+        s = mpe_step_multihead(self.scenario.world, state, move_hot,
+                               comm_vec)
         done = s.steps >= self.max_steps
         return s, (self.scenario.obs(s), self.scenario.reward(s), done)
