@@ -85,7 +85,7 @@ ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "roadway_s2_retain", "particle_s2_retain",
          "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
          "checkers_iac", "particle_coma", "roadway_qmix",
-         "checkers_s2_lrA", "checkers_s2_tn", "checkers_s2_e1",
+         "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
          "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"]
 DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "particle_s2_cross": "particle_s1", "particle_s2_merge":
@@ -93,7 +93,8 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "roadway_s2": "roadway_s1", "roadway_s2_stable": "roadway_s1",
         "roadway_s2_retain": "roadway_s1",
         "particle_s2_retain": "particle_s1",
-        "checkers_s2_lrA": "checkers_s1", "checkers_s2_tn": "checkers_s1",
+        "checkers_s2_lrA": "checkers_s1", "checkers_s2_lrB": "checkers_s1",
+        "checkers_s2_tn": "checkers_s1",
         "checkers_s2_e1": "checkers_s1"}
 
 # ablation cells run EVERY requested seed (no early stop): the ordering
@@ -103,7 +104,7 @@ ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "checkers_coma", "checkers_iac",
              "particle_coma", "roadway_qmix",
              "roadway_s2_retain", "particle_s2_retain",
-             "checkers_s2_lrA", "checkers_s2_tn", "checkers_s2_e1",
+             "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
              "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"}
 
 
@@ -241,6 +242,11 @@ def cells(episodes):
                                 train_from_nothing=0, N_train=e,
                                 lr_actor=3e-4,
                                 period=p, N_eval=10),
+        "checkers_s2_lrB": dict(experiment="checkers", stage=2, n_envs=16,
+                                dir_name="ck_s2lr5", dir_restore="ck_s1",
+                                train_from_nothing=0, N_train=e,
+                                lr_actor=5e-4,
+                                period=p, N_eval=10),
         # (a) init scheme: blanket truncated-normal(0.01) on all kernels
         "checkers_s2_tn": dict(experiment="checkers", stage=2, n_envs=16,
                                dir_name="ck_s2tn", dir_restore="ck_s1",
@@ -361,6 +367,8 @@ GATES = {
     # the best_eval_global comparison against the round-3 baselines
     # (PERF.md round-4 ordering ablation).
     "checkers_s2_lrA": ("best sum eval > 9.0 (CM3, lr_actor=3e-4)",
+                        lambda r: (r["best_eval_global"] or -99) > 9.0),
+    "checkers_s2_lrB": ("best sum eval > 9.0 (CM3, lr_actor=5e-4)",
                         lambda r: (r["best_eval_global"] or -99) > 9.0),
     "checkers_s2_tn": ("best sum eval > 9.0 (CM3, trunc001 init)",
                        lambda r: (r["best_eval_global"] or -99) > 9.0),
