@@ -443,16 +443,20 @@ class CM3:
         # of their TD losses yields gradients identical to two separate
         # passes while halving the sequential backward kernel chain —
         # the single-seed learner is op-latency bound (PERF.md).
+        # optional bounded-TD-target clamp (cfg.target_clip; round-4
+        # divergence fix — a no-op on targets the true returns can reach)
+        tclip = (lambda y: jnp.clip(y, -cfg.target_clip, cfg.target_clip)) \
+            if cfg.target_clip else (lambda y: y)
         q_tgt_next = self._q_global(ts.qg_tgt, state_next, obs_next, goals,
                                     a_next_1h)
         y_g = rl + gamma * q_tgt_next * done_mult[:, None]
-        y_g = jax.lax.stop_gradient(y_g)
+        y_g = jax.lax.stop_gradient(tclip(y_g))
         if self.use_credit:
             qc_tgt_next = self._q_credit_pairs(
                 ts.qc_tgt, state_next, obs_next, goals, a_next_1h)  # [B,M,N]
-            y_c = jax.lax.stop_gradient(
+            y_c = jax.lax.stop_gradient(tclip(
                 rl[:, None, :] + gamma * qc_tgt_next
-                * done_mult[:, None, None])
+                * done_mult[:, None, None]))
 
         def critics_loss_fn(ps):
             pg, pc = ps
@@ -483,8 +487,8 @@ class CM3:
         v_res = None
         if self.use_v:
             v_tgt_next = self._v_forward(ts.v_tgt, state_next, goals)
-            y_v = jax.lax.stop_gradient(
-                rl + gamma * v_tgt_next * done_mult[:, None])
+            y_v = jax.lax.stop_gradient(tclip(
+                rl + gamma * v_tgt_next * done_mult[:, None]))
 
             def v_loss_fn(p):
                 v = self._v_forward(p, state, goals)

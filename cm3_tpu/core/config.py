@@ -201,6 +201,16 @@ class AlgConfig:
     # "trunc001" (all kernels truncated-normal 0.01) — see the audit in
     # cm3_tpu/models/nets.py
     init_scheme: str = "ref"
+    # clamp TD targets to [-target_clip, +target_clip] before the MSE
+    # (0 = off, reference-exact).  Round-4 finding: stage-2 roadway
+    # Q_credit diverges exponentially (loss 2 -> 1e10 by ~11k episodes)
+    # even under grad_clip + a frozen actor — the classic unbounded TD
+    # bootstrap.  Episodes here are finite-horizon with bounded rewards
+    # (|return| <= ~20 on every task), so clamping targets to a bound
+    # the true returns never exceed changes nothing about the fixed
+    # point while removing the runaway direction (PERF.md round-4
+    # retention section).
+    target_clip: float = 0.0
     # fuse each network's Adam moments + parameter apply + Polyak target
     # blend into ONE Pallas kernel per network (ops/fused_opt.py) —
     # the update tail is kernel-launch-bound at these model sizes

@@ -112,7 +112,9 @@ def build(master: Dict, experiment: Optional[str] = None,
         grad_clip=master.get("grad_clip", 0.0),
         qmix_ref_bug=bool(master.get("qmix_ref_bug", 0)),
         init_scheme=master.get("init_scheme", "ref"),
-        actor_freeze_updates=int(master.get("actor_freeze_updates", 0)))
+        actor_freeze_updates=int(master.get("actor_freeze_updates", 0)),
+        target_clip=master.get("target_clip", 0.0),
+        fused_opt=bool(master.get("fused_opt", 0)))
     nn_cfg = _nn_config(master, experiment, stage)
 
     if alg_name == "cm3":

@@ -82,7 +82,7 @@ def run_cell(name: str, overrides: dict, n_episodes=None):
 ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "particle_s2_cross", "particle_s2_merge", "particle_s2_dual",
          "roadway_s1", "roadway_s2", "roadway_s2_stable",
-         "roadway_s2_retain", "particle_s2_retain",
+         "roadway_s2_retain", "roadway_s2_retain2", "particle_s2_retain",
          "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
          "checkers_iac", "particle_coma", "roadway_qmix",
          "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
@@ -92,6 +92,7 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "particle_s1", "particle_s2_dual": "particle_s1",
         "roadway_s2": "roadway_s1", "roadway_s2_stable": "roadway_s1",
         "roadway_s2_retain": "roadway_s1",
+        "roadway_s2_retain2": "roadway_s1",
         "particle_s2_retain": "particle_s1",
         "checkers_s2_lrA": "checkers_s1", "checkers_s2_lrB": "checkers_s1",
         "checkers_s2_tn": "checkers_s1",
@@ -103,7 +104,7 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
 ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "checkers_coma", "checkers_iac",
              "particle_coma", "roadway_qmix",
-             "roadway_s2_retain", "particle_s2_retain",
+             "roadway_s2_retain", "roadway_s2_retain2", "particle_s2_retain",
              "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
              "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"}
 
@@ -223,6 +224,22 @@ def cells(episodes):
                                   actor_freeze_updates=8000,
                                   epsilon_start=0.2,
                                   period=p, N_eval=10),
+        # v2 recipe (round-4 finding): the v1 freeze+low-eps cell holds
+        # the policy ~5x longer than reference-exact but Q_credit STILL
+        # diverges exponentially (TD loss 2 -> 1e10 by ~11k episodes,
+        # rd_s2r curves) and the diverged critic eventually destroys
+        # the actor — grad clipping bounds the step, not the runaway
+        # direction.  v2 adds bounded TD targets (target_clip=25; true
+        # |returns| <= ~20 on this task, so the clamp never binds at
+        # the fixed point) on top of freeze + low-eps + grad_clip.
+        "roadway_s2_retain2": dict(experiment="roadway", stage=2,
+                                   n_envs=16, dir_name="rd_s2r2",
+                                   dir_restore="rd_s1",
+                                   train_from_nothing=0, N_train=e,
+                                   dual_buffer=1, grad_clip=10.0,
+                                   actor_freeze_updates=8000,
+                                   epsilon_start=0.2, target_clip=25.0,
+                                   period=p, N_eval=10),
         # particle (on-policy bursts, 24 epochs/10 episodes -> ~2.4
         # updates/episode): 5000 updates ~= 2000 episodes frozen
         "particle_s2_retain": dict(experiment="particle",
@@ -358,6 +375,12 @@ GATES = {
                           "as a mean — see PERF.md round-4 calibration)",
                           lambda r: (r.get("final10_min_eval_local")
                                      or -99) > 8.1),
+    "roadway_s2_retain2": ("final-plateau min-over-agents eval > 8.1 "
+                           "(same gate as retain; v2 recipe adds "
+                           "bounded TD targets against the diagnosed "
+                           "Q_credit divergence)",
+                           lambda r: (r.get("final10_min_eval_local")
+                                      or -99) > 8.1),
     "particle_s2_retain": ("final-plateau goal-reach rate >= 0.75 "
                            "(last-10-period mean)",
                            lambda r: (r.get("final10_reach_rate") or 0)
@@ -421,6 +444,7 @@ SCORE = {
     "roadway_s2": lambda r: r["best_min_eval_local"] or -99,
     "roadway_s2_stable": lambda r: r["best_min_eval_local"] or -99,
     "roadway_s2_retain": lambda r: r.get("final10_min_eval_local") or -99,
+    "roadway_s2_retain2": lambda r: r.get("final10_min_eval_local") or -99,
     "particle_s2_retain": lambda r: r.get("final10_reach_rate") or 0,
 }
 

@@ -185,3 +185,34 @@ def test_grad_clip_bounds_update_magnitude():
     clipped = step_norm(dataclasses.replace(cfg, grad_clip=1e-6))
     assert clipped < free * 0.5, (clipped, free)
     assert clipped > 0.0
+
+
+@pytest.mark.slow
+def test_target_clip_bounds_td_targets():
+    """cfg.target_clip clamps TD targets (round-4 divergence fix): with
+    a pathologically large reward the clipped critic loss is orders of
+    magnitude smaller after one update (its target is bounded); with
+    in-range rewards the clamp is exactly inert."""
+    spec = dict(l_action=5, l_goal=2)
+    batch = _particle_batch(jax.random.PRNGKey(0), 16, 2, 2)
+
+    def one_update(clip, rl_scale):
+        alg = CM3("particle", spec, AlgConfig(n_agents=2, stage=2,
+                                              target_clip=clip))
+        b = dict(batch, rl=batch["rl"] * rl_scale)
+        ts = alg.init_state(jax.random.PRNGKey(1), b["obs"], b["state"],
+                            b["goals"])
+        ts, m = jax.jit(alg.update)(ts, b, 0.1, jax.random.PRNGKey(7))
+        return ts, m
+
+    _, m_un = one_update(0.0, 1000.0)
+    _, m_cl = one_update(25.0, 1000.0)
+    assert float(m_cl["loss_Q_global"]) < float(m_un["loss_Q_global"]) / 100
+    assert float(m_cl["loss_Q_credit"]) < float(m_un["loss_Q_credit"]) / 100
+
+    ts_ref, m_ref = one_update(0.0, 1.0)
+    ts_noop, m_noop = one_update(25.0, 1.0)
+    assert float(m_ref["loss_Q_global"]) == float(m_noop["loss_Q_global"])
+    for a, b in zip(jax.tree_util.tree_leaves(ts_ref.qg),
+                    jax.tree_util.tree_leaves(ts_noop.qg)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
