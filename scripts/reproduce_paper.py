@@ -83,6 +83,7 @@ ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "particle_s2_cross", "particle_s2_merge", "particle_s2_dual",
          "roadway_s1", "roadway_s2", "roadway_s2_stable",
          "roadway_s2_retain", "roadway_s2_retain2", "particle_s2_retain",
+         "particle_s2_retain2",
          "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
          "checkers_iac", "particle_coma", "roadway_qmix",
          "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
@@ -94,6 +95,7 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "roadway_s2_retain": "roadway_s1",
         "roadway_s2_retain2": "roadway_s1",
         "particle_s2_retain": "particle_s1",
+        "particle_s2_retain2": "particle_s1",
         "checkers_s2_lrA": "checkers_s1", "checkers_s2_lrB": "checkers_s1",
         "checkers_s2_tn": "checkers_s1",
         "checkers_s2_e1": "checkers_s1"}
@@ -105,7 +107,7 @@ ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "checkers_coma", "checkers_iac",
              "particle_coma", "roadway_qmix",
              "roadway_s2_retain", "roadway_s2_retain2", "particle_s2_retain",
-             "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
+             "particle_s2_retain2", "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
              "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"}
 
 
@@ -250,6 +252,23 @@ def cells(episodes):
                                    actor_freeze_updates=5000,
                                    epsilon_start=0.2,
                                    period=p, N_eval=10),
+        # particle v2 (round-4 finding): v1 (freeze + eps 0.2) FAILED
+        # differently from roadway — no critic divergence (losses stay
+        # <1), but reach collapses 0.62 -> 0.05 immediately after the
+        # unfreeze, and the lowered exploration also kept the policy
+        # from ever mastering the antipodal swap (best 0.85 vs round-3
+        # 1.0).  v2 keeps the critic burn-in freeze but restores the
+        # reference's exploration schedule (eps 0.5 -> 0.05) and adds
+        # the harmless bounded-target clamp.
+        "particle_s2_retain2": dict(experiment="particle",
+                                    particle_config="stage2_antipodal",
+                                    stage=2, n_envs=16,
+                                    dir_name="pt_s2r2",
+                                    dir_restore="pt_s1",
+                                    train_from_nothing=0, N_train=e,
+                                    actor_freeze_updates=5000,
+                                    target_clip=150.0,
+                                    period=p, N_eval=10),
         # ---- round-4 checkers-ordering ablation (verdict item 1): one
         # variable at a time vs the round-3 baseline cells.
         # (c) CM3 lr micro-sweep: the one reference-neighborhood knob
@@ -385,6 +404,11 @@ GATES = {
                            "(last-10-period mean)",
                            lambda r: (r.get("final10_reach_rate") or 0)
                            >= 0.75),
+    "particle_s2_retain2": ("final-plateau goal-reach rate >= 0.75 "
+                            "(last-10-period mean; v2: freeze + "
+                            "reference epsilon + bounded targets)",
+                            lambda r: (r.get("final10_reach_rate") or 0)
+                            >= 0.75),
     # ordering-ablation cells: CM3 variants keep the curriculum gate;
     # QMIX variants keep the directional gate.  Their real payload is
     # the best_eval_global comparison against the round-3 baselines
@@ -446,6 +470,7 @@ SCORE = {
     "roadway_s2_retain": lambda r: r.get("final10_min_eval_local") or -99,
     "roadway_s2_retain2": lambda r: r.get("final10_min_eval_local") or -99,
     "particle_s2_retain": lambda r: r.get("final10_reach_rate") or 0,
+    "particle_s2_retain2": lambda r: r.get("final10_reach_rate") or 0,
 }
 
 # The paper's actual ablation claim is an ORDERING, not a per-cell
