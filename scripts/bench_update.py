@@ -61,15 +61,23 @@ def _build(fused: bool):
 
 
 def _time_chain(step, init_carry, iters: int, blocks: int, sync):
-    carry = init_carry
-    for i in range(3):
-        carry = step(carry, i)           # warmup/compile
+    """DEVICE time per iteration: ``iters`` sequential steps run inside
+    ONE jitted lax.scan (so per-dispatch host/tunnel overhead — ~5 ms
+    through this environment's tunnel, 7x the device time! — amortizes
+    to nothing), timed over ``blocks`` scans, median [min-max]."""
+    import jax.numpy as jnp
+
+    def body(carry, i):
+        return step(carry, i), None
+
+    run = jax.jit(lambda c, base: jax.lax.scan(
+        body, c, base + jnp.arange(iters))[0])
+    carry = run(init_carry, jnp.int32(0))      # compile
     sync(carry)
     rates = []
     for b in range(blocks):
         t0 = time.perf_counter()
-        for i in range(iters):
-            carry = step(carry, 1000 * b + i)
+        carry = run(carry, jnp.int32(1000 * (b + 1)))
         sync(carry)
         rates.append((time.perf_counter() - t0) / iters)
     rates.sort()
