@@ -82,8 +82,8 @@ def run_cell(name: str, overrides: dict, n_episodes=None):
 ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "particle_s2_cross", "particle_s2_merge", "particle_s2_dual",
          "roadway_s1", "roadway_s2", "roadway_s2_stable",
-         "roadway_s2_retain", "roadway_s2_retain2", "particle_s2_retain",
-         "particle_s2_retain2",
+         "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
+         "particle_s2_retain", "particle_s2_retain2",
          "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
          "checkers_iac", "particle_coma", "roadway_qmix",
          "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
@@ -94,6 +94,7 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "roadway_s2": "roadway_s1", "roadway_s2_stable": "roadway_s1",
         "roadway_s2_retain": "roadway_s1",
         "roadway_s2_retain2": "roadway_s1",
+        "roadway_s2_retain3": "roadway_s1",
         "particle_s2_retain": "particle_s1",
         "particle_s2_retain2": "particle_s1",
         "checkers_s2_lrA": "checkers_s1", "checkers_s2_lrB": "checkers_s1",
@@ -106,8 +107,8 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
 ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "checkers_coma", "checkers_iac",
              "particle_coma", "roadway_qmix",
-             "roadway_s2_retain", "roadway_s2_retain2", "particle_s2_retain",
-             "particle_s2_retain2", "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
+             "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
+             "particle_s2_retain", "particle_s2_retain2", "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
              "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"}
 
 
@@ -251,6 +252,25 @@ def cells(episodes):
                                    train_from_nothing=0, N_train=e,
                                    actor_freeze_updates=5000,
                                    epsilon_start=0.2,
+                                   period=p, N_eval=10),
+        # v3 (round-4 finding): v2's bounded targets CURE the critic
+        # divergence (losses stay 0.3-5 for 30k episodes) but the
+        # actor still erodes from ~12k — the off-policy vanilla policy
+        # gradient on replayed actions (alg_credit.py:314-360 design)
+        # saturates the softmax and walks the actor off the optimum
+        # (policy_loss running to -300, rd_s2r2 curves).  The grafted
+        # roadway actor needs almost no adaptation (the graft itself
+        # peaks at best-min 9.8+), so v3 simply slows the actor:
+        # lr_actor 1e-4 -> 3e-5.  Erosion onset scaled ~proportionally
+        # would land beyond ~40k, i.e. outside any reference budget.
+        "roadway_s2_retain3": dict(experiment="roadway", stage=2,
+                                   n_envs=16, dir_name="rd_s2r3",
+                                   dir_restore="rd_s1",
+                                   train_from_nothing=0, N_train=e,
+                                   dual_buffer=1, grad_clip=10.0,
+                                   actor_freeze_updates=8000,
+                                   epsilon_start=0.2, target_clip=25.0,
+                                   lr_actor=3e-5,
                                    period=p, N_eval=10),
         # particle v2 (round-4 finding): v1 (freeze + eps 0.2) FAILED
         # differently from roadway — no critic divergence (losses stay
@@ -404,6 +424,11 @@ GATES = {
                            "(last-10-period mean)",
                            lambda r: (r.get("final10_reach_rate") or 0)
                            >= 0.75),
+    "roadway_s2_retain3": ("final-plateau min-over-agents eval > 8.1 "
+                           "(v3: + slow actor lr_actor=3e-5 against "
+                           "the off-policy PG erosion)",
+                           lambda r: (r.get("final10_min_eval_local")
+                                      or -99) > 8.1),
     "particle_s2_retain2": ("final-plateau goal-reach rate >= 0.75 "
                             "(last-10-period mean; v2: freeze + "
                             "reference epsilon + bounded targets)",
@@ -469,6 +494,7 @@ SCORE = {
     "roadway_s2_stable": lambda r: r["best_min_eval_local"] or -99,
     "roadway_s2_retain": lambda r: r.get("final10_min_eval_local") or -99,
     "roadway_s2_retain2": lambda r: r.get("final10_min_eval_local") or -99,
+    "roadway_s2_retain3": lambda r: r.get("final10_min_eval_local") or -99,
     "particle_s2_retain": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_retain2": lambda r: r.get("final10_reach_rate") or 0,
 }
