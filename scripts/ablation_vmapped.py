@@ -71,10 +71,28 @@ def run_cell_vmapped(name, overrides, n_episodes, n_seeds, base_seed):
              # saved/log dirs named <dir>_<seed>, the sequential
              # convention (reproduce_paper main loop)
              dir_idx_start=base_seed)
-    t0 = time.time()
-    ts, history = runner.train_multiseed(m, workdir=WORKDIR,
-                                         n_episodes=n_episodes)
-    minutes = round((time.time() - t0) / 60, 2)
+    # exclusive per-cell lock: two queue scripts accidentally running
+    # the same cell concurrently interleave the per-seed log streams
+    # and race on the shared vmapped autosave (observed round 4)
+    lock_dir = os.path.join(WORKDIR, "saved", f"{overrides['dir_name']}"
+                            f"_vmapped")
+    os.makedirs(lock_dir, exist_ok=True)
+    lock = os.path.join(lock_dir, ".cell_lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+    except FileExistsError:
+        raise SystemExit(
+            f"[{name}] LOCKED: another run holds {lock} (pid "
+            f"{open(lock).read()}); refusing a concurrent duplicate")
+    try:
+        t0 = time.time()
+        ts, history = runner.train_multiseed(m, workdir=WORKDIR,
+                                             n_episodes=n_episodes)
+        minutes = round((time.time() - t0) / 60, 2)
+    finally:
+        os.unlink(lock)
     return _per_seed_stats(name, history, n_seeds, base_seed, minutes,
                            overrides["dir_name"])
 
