@@ -517,6 +517,15 @@ ORDERING = [
       "checkers_iac"]),
     ("checkers (bug-FIXED QMIX, informational)", "best_eval_global",
      ["checkers_s2", "checkers_qmix", "checkers_coma", "checkers_iac"]),
+    # round-4 informational row: the lr-tuned CM3 (lr_actor=3e-4, the
+    # one-variable sweep's peak — 5e-4 regresses) vs the strongest QMIX
+    # cell.  Outcome: 23.9 vs 24.0 — CM3 closes the round-3 gap from
+    # 3.0 to 0.1 but the ordering still fails at best-over-seeds (its
+    # seed MEAN ties the best QMIX cell at 23.0); see PERF.md round-4
+    # ordering ablation for the full hypothesis matrix.
+    ("checkers (lr-tuned CM3, informational)", "best_eval_global",
+     ["checkers_s2_lrA", "checkers_qmix", "checkers_coma",
+      "checkers_iac"]),
     ("particle", "best_reach_rate", ["particle_s2", "particle_coma"]),
     ("roadway", "best_eval_global", ["roadway_s2", "roadway_qmix"]),
 ]
