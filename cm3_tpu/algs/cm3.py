@@ -528,6 +528,12 @@ class CM3:
                 jnp.sum(q_actual, axis=1, keepdims=True),
                 (q_actual.shape[0], n))
 
+        # optional batch advantage standardization (cfg.adv_norm;
+        # round-4 retention finding — invariance to critic scale drift)
+        if cfg.adv_norm:
+            mu = jnp.mean(sum_a)
+            sd = jnp.std(sum_a)
+            sum_a = (sum_a - mu) / (sd + 1e-8)
         sum_a = jax.lax.stop_gradient(sum_a)
 
         def policy_loss_fn(p):

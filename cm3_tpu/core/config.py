@@ -201,6 +201,16 @@ class AlgConfig:
     # "trunc001" (all kernels truncated-normal 0.01) — see the audit in
     # cm3_tpu/models/nets.py
     init_scheme: str = "ref"
+    # standardize the policy-gradient advantages across each update
+    # batch (zero mean, unit variance) before the log-pi weighting
+    # (0 = off, reference-exact).  Round-4 retention finding: with
+    # bounded critics the PG advantage SIGNAL still drifts in scale as
+    # the critics rail against the clamp (|policy_loss| to ~±300-570,
+    # rd_s2r2/r3 curves) and erodes a near-optimal actor regardless of
+    # lr_actor; normalization makes the PG invariant to critic scale
+    # drift — the standard actor-critic variance control the reference
+    # lacks.
+    adv_norm: bool = False
     # clamp TD targets to [-target_clip, +target_clip] before the MSE
     # (0 = off, reference-exact).  Round-4 finding: stage-2 roadway
     # Q_credit diverges exponentially (loss 2 -> 1e10 by ~11k episodes)

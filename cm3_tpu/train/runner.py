@@ -114,6 +114,7 @@ def build(master: Dict, experiment: Optional[str] = None,
         init_scheme=master.get("init_scheme", "ref"),
         actor_freeze_updates=int(master.get("actor_freeze_updates", 0)),
         target_clip=master.get("target_clip", 0.0),
+        adv_norm=bool(master.get("adv_norm", 0)),
         fused_opt=bool(master.get("fused_opt", 0)))
     nn_cfg = _nn_config(master, experiment, stage)
 

@@ -83,7 +83,7 @@ ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "particle_s2_cross", "particle_s2_merge", "particle_s2_dual",
          "roadway_s1", "roadway_s2", "roadway_s2_stable",
          "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
-         "particle_s2_retain", "particle_s2_retain2",
+         "roadway_s2_retain4", "particle_s2_retain", "particle_s2_retain2",
          "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
          "checkers_iac", "particle_coma", "roadway_qmix",
          "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
@@ -95,6 +95,7 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "roadway_s2_retain": "roadway_s1",
         "roadway_s2_retain2": "roadway_s1",
         "roadway_s2_retain3": "roadway_s1",
+        "roadway_s2_retain4": "roadway_s1",
         "particle_s2_retain": "particle_s1",
         "particle_s2_retain2": "particle_s1",
         "checkers_s2_lrA": "checkers_s1", "checkers_s2_lrB": "checkers_s1",
@@ -108,7 +109,7 @@ ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "checkers_coma", "checkers_iac",
              "particle_coma", "roadway_qmix",
              "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
-             "particle_s2_retain", "particle_s2_retain2", "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
+             "roadway_s2_retain4", "particle_s2_retain", "particle_s2_retain2", "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
              "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"}
 
 
@@ -272,6 +273,20 @@ def cells(episodes):
                                    epsilon_start=0.2, target_clip=25.0,
                                    lr_actor=3e-5,
                                    period=p, N_eval=10),
+        # v4 (round-4 finding): v3 proves the erosion is NOT
+        # step-size-limited (same erosion at lr_actor/3), so the lever
+        # is the advantage SIGNAL itself — v4 standardizes advantages
+        # per batch (adv_norm), making the policy gradient invariant
+        # to the critic scale drift that v2/v3 left in place.
+        "roadway_s2_retain4": dict(experiment="roadway", stage=2,
+                                   n_envs=16, dir_name="rd_s2r4",
+                                   dir_restore="rd_s1",
+                                   train_from_nothing=0, N_train=e,
+                                   dual_buffer=1, grad_clip=10.0,
+                                   actor_freeze_updates=8000,
+                                   epsilon_start=0.2, target_clip=25.0,
+                                   adv_norm=1,
+                                   period=p, N_eval=10),
         # particle v2 (round-4 finding): v1 (freeze + eps 0.2) FAILED
         # differently from roadway — no critic divergence (losses stay
         # <1), but reach collapses 0.62 -> 0.05 immediately after the
@@ -429,6 +444,11 @@ GATES = {
                            "the off-policy PG erosion)",
                            lambda r: (r.get("final10_min_eval_local")
                                       or -99) > 8.1),
+    "roadway_s2_retain4": ("final-plateau min-over-agents eval > 8.1 "
+                           "(v4: + batch advantage standardization "
+                           "against the degraded-signal erosion)",
+                           lambda r: (r.get("final10_min_eval_local")
+                                      or -99) > 8.1),
     "particle_s2_retain2": ("final-plateau goal-reach rate >= 0.75 "
                             "(last-10-period mean; v2: freeze + "
                             "reference epsilon + bounded targets)",
@@ -495,6 +515,7 @@ SCORE = {
     "roadway_s2_retain": lambda r: r.get("final10_min_eval_local") or -99,
     "roadway_s2_retain2": lambda r: r.get("final10_min_eval_local") or -99,
     "roadway_s2_retain3": lambda r: r.get("final10_min_eval_local") or -99,
+    "roadway_s2_retain4": lambda r: r.get("final10_min_eval_local") or -99,
     "particle_s2_retain": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_retain2": lambda r: r.get("final10_reach_rate") or 0,
 }

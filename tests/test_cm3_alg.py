@@ -216,3 +216,40 @@ def test_target_clip_bounds_td_targets():
     for a, b in zip(jax.tree_util.tree_leaves(ts_ref.qg),
                     jax.tree_util.tree_leaves(ts_noop.qg)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_adv_norm_standardizes_policy_gradient():
+    """cfg.adv_norm: the policy update is invariant to a uniform
+    scaling of the critic's output (the round-4 degraded-signal
+    erosion lever); the default path is scale-sensitive."""
+    import flax
+
+    spec = dict(l_action=5, l_goal=2)
+    batch = _particle_batch(jax.random.PRNGKey(0), 32, 2, 2)
+
+    def actor_after(adv_norm, q_scale):
+        alg = CM3("particle", spec,
+                  AlgConfig(n_agents=2, stage=2, use_Q_credit=False,
+                            use_V=False, adv_norm=adv_norm,
+                            lr_Q=0.0))  # critic frozen at (scaled) init
+        ts = alg.init_state(jax.random.PRNGKey(1), batch["obs"],
+                            batch["state"], batch["goals"])
+        qg = flax.core.unfreeze(ts.qg) if hasattr(flax.core, "unfreeze") \
+            else dict(ts.qg)
+        qg["params"]["out"]["kernel"] = qg["params"]["out"]["kernel"] \
+            * q_scale
+        ts = ts.replace(qg=qg, qg_tgt=qg)
+        ts2, _ = jax.jit(alg.update)(ts, batch, 0.1, jax.random.PRNGKey(7))
+        return jax.tree_util.tree_leaves(ts2.actor)
+
+    a_norm_1 = actor_after(True, 1.0)
+    a_norm_2 = actor_after(True, 100.0)
+    for x, y in zip(a_norm_1, a_norm_2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
+    # the default (reference-exact) path IS scale-sensitive
+    a_raw_1 = actor_after(False, 1.0)
+    a_raw_2 = actor_after(False, 100.0)
+    assert any(not np.allclose(np.asarray(x), np.asarray(y), atol=1e-7)
+               for x, y in zip(a_raw_1, a_raw_2))
