@@ -109,17 +109,27 @@ class CM3:
                 "fused_opt requires grad_clip == 0 (the global-norm clip "
                 "is a different program shape; see AlgConfig)")
 
-    def _opt_step(self, tx, lr, opt_state, params, tgt, grads):
+    def _opt_step(self, tx, lr, opt_state, params, tgt, grads,
+                  lr_scale=None):
         """Adam apply + soft target update for one network: a single
         fused Pallas kernel when cfg.fused_opt (ops/fused_opt.py), the
         optax chain + tree_map otherwise.  Identical math either way
         (soft update always consumes the POST-update params,
-        alg_credit.py:775 ordering)."""
+        alg_credit.py:775 ordering).
+
+        ``lr_scale`` (traced scalar, optional) rescales the step — an
+        exact learning-rate multiplier, since Adam's moment updates are
+        lr-independent; used by the actor lr anneal
+        (AlgConfig.actor_lr_anneal_updates)."""
         if self.cfg.fused_opt:
             from cm3_tpu.ops import fused_opt
+            if lr_scale is not None:
+                lr = lr * lr_scale
             return fused_opt.adam_polyak(opt_state, params, tgt, grads,
                                          lr, self.cfg.tau)
         upd, new_opt = tx.update(grads, opt_state, params)
+        if lr_scale is not None:
+            upd = jax.tree_util.tree_map(lambda u: u * lr_scale, upd)
         new_p = optax.apply_updates(params, upd)
         return new_p, common.soft_update(tgt, new_p, self.cfg.tau), new_opt
 
@@ -546,9 +556,18 @@ class CM3:
             return -jnp.mean(jnp.sum(log_pi * sum_a, axis=1))
 
         loss_pi, g_pi = jax.value_and_grad(policy_loss_fn)(ts.actor)
+        # actor lr anneal (retention recipe part 2): linear 1 -> 0 over
+        # actor_lr_anneal_updates, counted after the freeze window ends
+        # (cfg docstring; exact lr scaling — see _opt_step)
+        lr_scale = None
+        if cfg.actor_lr_anneal_updates:
+            lived = jnp.asarray(ts.step - cfg.actor_freeze_updates,
+                                jnp.float32)
+            lr_scale = jnp.clip(
+                1.0 - lived / float(cfg.actor_lr_anneal_updates), 0.0, 1.0)
         actor_new, actor_tgt_new, opt_actor = self._opt_step(
             self.opt_actor, cfg.lr_actor, ts.opt_actor, ts.actor,
-            ts.actor_tgt, g_pi)
+            ts.actor_tgt, g_pi, lr_scale=lr_scale)
         metrics["policy_loss"] = loss_pi
 
         # stage-2 retention: keep the grafted actor (and its Adam state)

@@ -236,6 +236,23 @@ class AlgConfig:
     # reference's 1-update-per-10-single-env-steps ratio, K updates
     # correspond to ~K*10/max_steps episodes.
     actor_freeze_updates: int = 0
+    # stage-2 retention recipe, part 2 (CM3 only): linearly anneal the
+    # ACTOR learning rate to zero over this many updates counted from
+    # the end of the freeze window (0 = reference-exact, constant lr).
+    # Round-4 finding (PERF.md retention section): with bounded targets
+    # and clipped gradients the critics stay sane, but the off-policy
+    # vanilla policy gradient on replayed actions still erodes a
+    # near-optimal grafted actor from ~12k episodes on — at lr_actor/3
+    # just as surely as at lr_actor (v3), and faster with standardized
+    # advantages (v4); the erosion is the update DIRECTION, not its
+    # size.  The principled endgame for a finite training budget is lr
+    # annealing: a finite adaptation window after the critic burn-in,
+    # then a policy that converges to rest — so the FINAL policy is the
+    # annealed policy rather than whatever the last erosive update
+    # produced (the reference instead relies on threshold snapshots,
+    # train_offpolicy.py:385-398).  Implemented as an exact lr scale on
+    # the actor's Adam update (moments are lr-independent).
+    actor_lr_anneal_updates: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -113,6 +113,8 @@ def build(master: Dict, experiment: Optional[str] = None,
         qmix_ref_bug=bool(master.get("qmix_ref_bug", 0)),
         init_scheme=master.get("init_scheme", "ref"),
         actor_freeze_updates=int(master.get("actor_freeze_updates", 0)),
+        actor_lr_anneal_updates=int(master.get("actor_lr_anneal_updates",
+                                               0)),
         target_clip=master.get("target_clip", 0.0),
         adv_norm=bool(master.get("adv_norm", 0)),
         fused_opt=bool(master.get("fused_opt", 0)))

@@ -83,7 +83,8 @@ ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "particle_s2_cross", "particle_s2_merge", "particle_s2_dual",
          "roadway_s1", "roadway_s2", "roadway_s2_stable",
          "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
-         "roadway_s2_retain4", "particle_s2_retain", "particle_s2_retain2",
+         "roadway_s2_retain4", "roadway_s2_retain5",
+         "particle_s2_retain", "particle_s2_retain2",
          "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
          "checkers_iac", "particle_coma", "roadway_qmix",
          "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
@@ -96,6 +97,7 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "roadway_s2_retain2": "roadway_s1",
         "roadway_s2_retain3": "roadway_s1",
         "roadway_s2_retain4": "roadway_s1",
+        "roadway_s2_retain5": "roadway_s1",
         "particle_s2_retain": "particle_s1",
         "particle_s2_retain2": "particle_s1",
         "checkers_s2_lrA": "checkers_s1", "checkers_s2_lrB": "checkers_s1",
@@ -109,7 +111,8 @@ ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "checkers_coma", "checkers_iac",
              "particle_coma", "roadway_qmix",
              "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
-             "roadway_s2_retain4", "particle_s2_retain", "particle_s2_retain2", "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
+             "roadway_s2_retain4", "roadway_s2_retain5",
+             "particle_s2_retain", "particle_s2_retain2", "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
              "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"}
 
 
@@ -287,6 +290,27 @@ def cells(episodes):
                                    epsilon_start=0.2, target_clip=25.0,
                                    adv_norm=1,
                                    period=p, N_eval=10),
+        # v5 (round-4 finding, the retention endgame): v2-v4 establish
+        # that the critics can be kept sane (bounded targets + clip)
+        # but the off-policy vanilla PG DIRECTION itself erodes the
+        # near-optimal grafted actor from ~12k episodes — at lr/3 (v3)
+        # and faster with adv standardization (v4).  For a finite
+        # budget the principled fix is an actor lr anneal: after the
+        # critic burn-in freeze, a linear 1->0 lr window (~40k updates
+        # ~= 10k episodes at the 4-updates/episode pacing), so the
+        # actor adapts while the anneal is open and then converges to
+        # rest — the FINAL policy is the annealed policy, not the last
+        # erosive update (AlgConfig.actor_lr_anneal_updates docstring;
+        # the reference instead snapshots, train_offpolicy.py:385-398).
+        "roadway_s2_retain5": dict(experiment="roadway", stage=2,
+                                   n_envs=16, dir_name="rd_s2r5",
+                                   dir_restore="rd_s1",
+                                   train_from_nothing=0, N_train=e,
+                                   dual_buffer=1, grad_clip=10.0,
+                                   actor_freeze_updates=8000,
+                                   epsilon_start=0.2, target_clip=25.0,
+                                   actor_lr_anneal_updates=40000,
+                                   period=p, N_eval=10),
         # particle v2 (round-4 finding): v1 (freeze + eps 0.2) FAILED
         # differently from roadway — no critic divergence (losses stay
         # <1), but reach collapses 0.62 -> 0.05 immediately after the
@@ -449,6 +473,12 @@ GATES = {
                            "against the degraded-signal erosion)",
                            lambda r: (r.get("final10_min_eval_local")
                                       or -99) > 8.1),
+    "roadway_s2_retain5": ("final-plateau min-over-agents eval > 8.1 "
+                           "(v5: + actor lr anneal 1->0 over 40k "
+                           "updates post-freeze — the finite-budget "
+                           "endgame for the PG-direction erosion)",
+                           lambda r: (r.get("final10_min_eval_local")
+                                      or -99) > 8.1),
     "particle_s2_retain2": ("final-plateau goal-reach rate >= 0.75 "
                             "(last-10-period mean; v2: freeze + "
                             "reference epsilon + bounded targets)",
@@ -516,6 +546,7 @@ SCORE = {
     "roadway_s2_retain2": lambda r: r.get("final10_min_eval_local") or -99,
     "roadway_s2_retain3": lambda r: r.get("final10_min_eval_local") or -99,
     "roadway_s2_retain4": lambda r: r.get("final10_min_eval_local") or -99,
+    "roadway_s2_retain5": lambda r: r.get("final10_min_eval_local") or -99,
     "particle_s2_retain": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_retain2": lambda r: r.get("final10_reach_rate") or 0,
 }
