@@ -88,6 +88,7 @@ ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
          "checkers_iac", "particle_coma", "roadway_qmix",
          "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
+         "checkers_s2_lrA_ext",
          "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"]
 DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "particle_s2_cross": "particle_s1", "particle_s2_merge":
@@ -101,6 +102,7 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "particle_s2_retain": "particle_s1",
         "particle_s2_retain2": "particle_s1",
         "checkers_s2_lrA": "checkers_s1", "checkers_s2_lrB": "checkers_s1",
+        "checkers_s2_lrA_ext": "checkers_s1",
         "checkers_s2_tn": "checkers_s1",
         "checkers_s2_e1": "checkers_s1"}
 
@@ -112,6 +114,7 @@ ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "particle_coma", "roadway_qmix",
              "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
              "roadway_s2_retain4", "roadway_s2_retain5",
+             "checkers_s2_lrA_ext",
              "particle_s2_retain", "particle_s2_retain2", "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
              "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"}
 
@@ -337,6 +340,25 @@ def cells(episodes):
                                 train_from_nothing=0, N_train=e,
                                 lr_actor=3e-4,
                                 period=p, N_eval=10),
+        # budget-extension of the lr-tuned cell (round-4b): the 50k
+        # curves are STILL RISING at the cap on 5/7 seeds (bests land
+        # in the final fifth; 12341's at the last eval), so the 0.1
+        # gap to QMIX's 24.0 optimum is budget-limited, not
+        # capability-limited.  This cell RESUMES finished lrA seeds
+        # (scripts/extend_run.py synthesizes the autosave from
+        # model_final; the vmapped sweep's own stacked autosave also
+        # works) and trains to a 100k TOTAL — an informational 2x
+        # budget deviation.  QMIX needs no extension: it already sits
+        # AT the task optimum, which is the ceiling.
+        "checkers_s2_lrA_ext": dict(experiment="checkers", stage=2,
+                                    n_envs=16, dir_name="ck_s2lr",
+                                    dir_restore="ck_s1",
+                                    train_from_nothing=0, N_train=e,
+                                    lr_actor=3e-4, auto_resume=1,
+                                    # keep the reference's 100-episode
+                                    # eval cadence even at the 2x total
+                                    # (p scales with --episodes)
+                                    period=100, N_eval=10),
         "checkers_s2_lrB": dict(experiment="checkers", stage=2, n_envs=16,
                                 dir_name="ck_s2lr5", dir_restore="ck_s1",
                                 train_from_nothing=0, N_train=e,
@@ -490,6 +512,11 @@ GATES = {
     # (PERF.md round-4 ordering ablation).
     "checkers_s2_lrA": ("best sum eval > 9.0 (CM3, lr_actor=3e-4)",
                         lambda r: (r["best_eval_global"] or -99) > 9.0),
+    "checkers_s2_lrA_ext": ("best sum eval > 9.0 (CM3, lr_actor=3e-4, "
+                            "resumed to 100k total — informational 2x "
+                            "budget; best is over the 50k-100k window)",
+                            lambda r: (r["best_eval_global"] or -99)
+                            > 9.0),
     "checkers_s2_lrB": ("best sum eval > 9.0 (CM3, lr_actor=5e-4)",
                         lambda r: (r["best_eval_global"] or -99) > 9.0),
     "checkers_s2_tn": ("best sum eval > 9.0 (CM3, trunc001 init)",
@@ -578,6 +605,14 @@ ORDERING = [
     ("checkers (lr-tuned CM3, informational)", "best_eval_global",
      ["checkers_s2_lrA", "checkers_qmix", "checkers_coma",
       "checkers_iac"]),
+    # round-4b informational row: lr-tuned CM3 with the 2x-budget
+    # extension (a cell entry that is a tuple is scored as the
+    # COMBINED best over its member cells — the ext cell resumes lrA
+    # seeds, so the union is one training curve per seed)
+    ("checkers (lr-tuned CM3 @ 2x budget, informational)",
+     "best_eval_global",
+     [("checkers_s2_lrA", "checkers_s2_lrA_ext"), "checkers_qmix",
+      "checkers_coma", "checkers_iac"]),
     ("particle", "best_reach_rate", ["particle_s2", "particle_coma"]),
     ("roadway", "best_eval_global", ["roadway_s2", "roadway_qmix"]),
 ]
@@ -591,10 +626,12 @@ def ordering_rows(by_cell):
     for task, metric, cells_ in ORDERING:
         vals = []
         for c in cells_:
-            rows = by_cell.get(c, [])
+            names = c if isinstance(c, tuple) else (c,)
+            rows = [r for n in names for r in by_cell.get(n, [])]
             xs = [r.get(metric) for r in rows if r.get(metric) is not None]
             if xs:
-                vals.append((c, max(xs), sum(xs) / len(xs), len(xs)))
+                vals.append(("+".join(names), max(xs), sum(xs) / len(xs),
+                             len(xs)))
         complete = len(vals) == len(cells_)
         passed = complete and all(vals[i][1] >= vals[i + 1][1]
                                   for i in range(len(vals) - 1))
