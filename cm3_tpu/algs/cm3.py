@@ -108,6 +108,14 @@ class CM3:
             raise ValueError(
                 "fused_opt requires grad_clip == 0 (the global-norm clip "
                 "is a different program shape; see AlgConfig)")
+        if alg.fused_opt and alg.actor_lr_anneal_updates:
+            # the Pallas kernel takes lr as a static float
+            # (ops/fused_opt.py float(lr)); a traced lr_scale would
+            # raise ConcretizationTypeError at trace time
+            raise ValueError(
+                "fused_opt is incompatible with actor_lr_anneal_updates "
+                "(the fused kernel's lr is static; the anneal is a "
+                "traced per-step scale — use the optax path)")
 
     def _opt_step(self, tx, lr, opt_state, params, tgt, grads,
                   lr_scale=None):
@@ -164,6 +172,16 @@ class CM3:
         params = ts.actor_tgt if target else ts.actor
         probs = self.actor_probs(params, obs, goals, a_prev, epsilon)
         return common.sample_actions(key, probs)
+
+    def act_bp(self, ts: CM3State, obs, goals, a_prev, epsilon, key):
+        """Sample actions AND return the behavior-policy distribution:
+        -> (actions [B, N], probs [B, N, A]).  Used by the drivers when
+        cfg.pg_is_clip is set — the per-action probability of whatever
+        action is ultimately STORED (the env's feasibility filter may
+        replace the sampled one) is gathered from ``probs`` and saved in
+        the transition as ``bp``."""
+        probs = self.actor_probs(ts.actor, obs, goals, a_prev, epsilon)
+        return common.sample_actions(key, probs), probs
 
     def _q_global(self, params, state, obs, goals, a_1h):
         """Q_n(s, a_all) for every agent, [B, N]."""
@@ -544,6 +562,22 @@ class CM3:
             mu = jnp.mean(sum_a)
             sd = jnp.std(sum_a)
             sum_a = (sum_a - mu) / (sd + 1e-8)
+        # clipped per-action importance weighting (cfg.pg_is_clip): the
+        # off-policy correction the reference's vanilla PG lacks
+        # (alg_credit.py:314-360).  w = min(pi_now(a)/mu(a), c) with mu
+        # the stored behavior prob of the taken action; both numerator
+        # and denominator are eps-mixed so w is bounded away from 0/inf
+        # by the eps floor.  On-policy (no drift) w == 1 exactly for
+        # c >= 1; stale actions the current policy no longer takes are
+        # damped toward zero.  Weighted per (batch, acting agent) —
+        # sum_a's leading agent axis is m, the ACTING agent, matching
+        # log_pi's.  See AlgConfig.pg_is_clip.
+        if cfg.pg_is_clip and "bp" in batch:
+            taken_now = jnp.sum(probs_const * a_1h, axis=-1)     # [B,N]
+            w = jnp.clip(taken_now / jnp.maximum(batch["bp"], 1e-8),
+                         0.0, cfg.pg_is_clip)
+            metrics["is_weight_mean"] = jnp.mean(w)
+            sum_a = sum_a * (w[:, :1] if n == 1 else w)
         sum_a = jax.lax.stop_gradient(sum_a)
 
         def policy_loss_fn(p):

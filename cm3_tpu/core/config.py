@@ -228,6 +228,26 @@ class AlgConfig:
     # is a different program shape).  Numerics match optax to float32
     # rounding (tests/test_fused_opt.py).
     fused_opt: bool = False
+    # clipped importance weighting on the policy gradient (CM3 only):
+    # 0 = off (reference-exact).  When c > 0, each replayed action's PG
+    # term is weighted by w = min(pi_now(a|o,g) / mu(a|o,g), c), where
+    # mu is the stored behavior-policy probability of the TAKEN action
+    # at collection time (the eps-mixed policy, or 1/A for random-fill
+    # actions) — the standard clipped per-action IS correction
+    # (Degris et al. off-policy actor-critic; IMPALA's clipped rho).
+    # Round-4 dissection (PERF.md retention section) established that
+    # the roadway stage-2 erosion is the DIRECTION of the reference's
+    # uncorrected off-policy vanilla PG on stale replayed actions
+    # (alg_credit.py:314-360): once the grafted actor has moved on,
+    # replayed exploratory actions keep full gradient weight and walk
+    # it off the optimum.  With w, actions the current policy no longer
+    # takes have pi_now(a) ~ 0 and contribute ~nothing, while in-
+    # distribution data keeps weight ~1 (exactly 1 when the policy
+    # hasn't drifted, so the correction is a no-op on-policy).  c=1 is
+    # the conservative IMPALA-style choice.  Requires the driver to
+    # store behavior probs in the replay transition ("bp" field —
+    # train/offpolicy.py stores them automatically when this is set).
+    pg_is_clip: float = 0.0
     # stage-2 retention recipe (CM3 only): skip the first K actor/Adam
     # applications so the fresh stage-2 critic branches burn in on data
     # from the frozen grafted actor before policy-gradient updates begin

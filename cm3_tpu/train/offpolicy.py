@@ -111,6 +111,11 @@ class OffPolicyDriver:
         self.cfg = cfg
         self.eval_hooks = eval_hooks or hooks
         self.n_envs = cfg.n_envs
+        # clipped-IS PG correction (AlgConfig.pg_is_clip): transitions
+        # additionally store "bp", the behavior-policy probability of
+        # the STORED action at collection time
+        self._store_bp = (getattr(getattr(alg, "cfg", None), "pg_is_clip",
+                                  0.0) > 0 and hasattr(alg, "act_bp"))
         # donate the replay store (multi-MB) so it updates in place;
         # params/rollout leaves may alias shared zero buffers -> not donatable
         self._chunk_train = jax.jit(
@@ -209,7 +214,8 @@ class OffPolicyDriver:
 
     # -------------------------------------------------------------- #
 
-    def _transition(self, rs: RolloutState, actions, ts_next, state_next_obs):
+    def _transition(self, rs: RolloutState, actions, ts_next, state_next_obs,
+                    bp=None):
         tr = {
             "obs": rs.obs, "state": rs.state,
             "a": actions, "a_prev": rs.a_prev,
@@ -219,6 +225,9 @@ class OffPolicyDriver:
         }
         if not self.hooks.has_a_prev:
             tr.pop("a_prev")
+        if self._store_bp:
+            tr["bp"] = bp if bp is not None else jnp.full(
+                actions.shape, 1.0 / self.alg.n_actions, jnp.float32)
         return tr
 
     def _step_once(self, ts_alg, rs: RolloutState, buf, epsilon, key,
@@ -232,12 +241,17 @@ class OffPolicyDriver:
         n = hooks.n_agents
         k_act, k_rand, k_reset = jax.random.split(key, 3)
 
+        probs_b = None
         if random_actions:
             actions = jax.random.randint(k_rand, (e, n), 0,
                                          self.alg.n_actions)
         else:
-            actions = self.alg.act(ts_alg, rs.obs, rs.goals, rs.a_prev,
-                                   epsilon, k_act)
+            if self._store_bp:
+                actions, probs_b = self.alg.act_bp(
+                    ts_alg, rs.obs, rs.goals, rs.a_prev, epsilon, k_act)
+            else:
+                actions = self.alg.act(ts_alg, rs.obs, rs.goals, rs.a_prev,
+                                       epsilon, k_act)
             if policy_gate is not None:
                 actions = jnp.where(
                     policy_gate, actions,
@@ -247,9 +261,22 @@ class OffPolicyDriver:
             # feasibility filter before stepping; the REPLACED actions are
             # what gets stored (train_offpolicy.py:322-325)
             actions = jax.vmap(env.check_actions)(rs.env_state, actions)
+
+        bp = None
+        if self._store_bp and probs_b is not None:
+            # behavior prob of the STORED action (post-replacement; a
+            # feasibility-replaced action's policy prob may be small —
+            # the ratio pi_now/bp then tracks policy drift on exactly
+            # the action the PG trains on).  Random-fill actions (and
+            # gated-off instances) store the uniform 1/A.
+            bp = jnp.take_along_axis(probs_b, actions[..., None],
+                                     axis=-1)[..., 0]
+            if policy_gate is not None:
+                bp = jnp.where(policy_gate, bp,
+                               1.0 / self.alg.n_actions)
         env_state2, ts2 = jax.vmap(env.step)(rs.env_state, actions)
 
-        tr = self._transition(rs, actions, ts2, None)
+        tr = self._transition(rs, actions, ts2, None, bp=bp)
         done = ts2.done
         ep_ret_local = rs.ep_ret_local + ts2.reward_local
         ep_ret_global = rs.ep_ret_global + ts2.reward

@@ -116,6 +116,7 @@ def build(master: Dict, experiment: Optional[str] = None,
         actor_lr_anneal_updates=int(master.get("actor_lr_anneal_updates",
                                                0)),
         target_clip=master.get("target_clip", 0.0),
+        pg_is_clip=master.get("pg_is_clip", 0.0),
         adv_norm=bool(master.get("adv_norm", 0)),
         fused_opt=bool(master.get("fused_opt", 0)))
     nn_cfg = _nn_config(master, experiment, stage)
@@ -231,6 +232,14 @@ def train_function(master: Dict, workdir: str = ".",
         initial_episodes = int(restored["episodes"])
         if verbose:
             print(f"auto-resume from episode {initial_episodes}")
+    elif master.get("require_resume", 0):
+        # a cell that is SEMANTICALLY a resume (e.g. a budget extension
+        # of a finished run) must not silently train from scratch and
+        # overwrite the original run's artifacts when the autosave is
+        # missing (run scripts/extend_run.py first to synthesize one
+        # from model_final)
+        raise FileNotFoundError(
+            f"require_resume=1 but no autosave at {autosave_path}")
 
     save_threshold = master.get("save_threshold")
     if save_threshold is None and experiment == "roadway":
@@ -396,6 +405,11 @@ def train_multiseed(master: Dict, workdir: str = ".",
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *singles)
             resume = (stacked, np.zeros(n_seeds, np.int64))
+        if (master.get("require_resume", 0)
+                and not (master.get("auto_resume", 0)
+                         and os.path.isdir(autosave))):
+            raise FileNotFoundError(
+                f"require_resume=1 but no vmapped autosave at {autosave}")
         if master.get("auto_resume", 0) and os.path.isdir(autosave):
             key0 = prng.root_key(master.get("seed", 12341))
             rs0 = init_rollout(hooks, prng.for_purpose(key0, prng.RESET),

@@ -83,10 +83,13 @@ ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "particle_s2_cross", "particle_s2_merge", "particle_s2_dual",
          "roadway_s1", "roadway_s2", "roadway_s2_stable",
          "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
-         "roadway_s2_retain4", "roadway_s2_retain5",
+         "roadway_s2_retain4", "roadway_s2_retain5", "roadway_s2_retain6",
          "particle_s2_retain", "particle_s2_retain2",
+         "particle_s2_cross_retain", "particle_s2_merge_retain",
+         "checkers_s2_V", "particle_s2_V",
          "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
-         "checkers_iac", "particle_coma", "roadway_qmix",
+         "checkers_iac", "particle_coma", "particle_qmix", "roadway_qmix",
+         "checkers_blend",
          "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
          "checkers_s2_lrA_ext",
          "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"]
@@ -99,8 +102,13 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "roadway_s2_retain3": "roadway_s1",
         "roadway_s2_retain4": "roadway_s1",
         "roadway_s2_retain5": "roadway_s1",
+        "roadway_s2_retain6": "roadway_s1",
         "particle_s2_retain": "particle_s1",
         "particle_s2_retain2": "particle_s1",
+        "particle_s2_cross_retain": "particle_s1",
+        "particle_s2_merge_retain": "particle_s1",
+        "checkers_s2_V": "checkers_s1",
+        "particle_s2_V": "particle_s1",
         "checkers_s2_lrA": "checkers_s1", "checkers_s2_lrB": "checkers_s1",
         "checkers_s2_lrA_ext": "checkers_s1",
         "checkers_s2_tn": "checkers_s1",
@@ -111,11 +119,16 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
 # not a first-pass winner
 ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "checkers_coma", "checkers_iac",
-             "particle_coma", "roadway_qmix",
+             "particle_coma", "particle_qmix", "roadway_qmix",
+             "checkers_blend",
              "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
              "roadway_s2_retain4", "roadway_s2_retain5",
+             "roadway_s2_retain6",
              "checkers_s2_lrA_ext",
-             "particle_s2_retain", "particle_s2_retain2", "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
+             "particle_s2_retain", "particle_s2_retain2",
+             "particle_s2_cross_retain", "particle_s2_merge_retain",
+             "checkers_s2_V", "particle_s2_V",
+             "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
              "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"}
 
 
@@ -314,6 +327,25 @@ def cells(episodes):
                                    epsilon_start=0.2, target_clip=25.0,
                                    actor_lr_anneal_updates=40000,
                                    period=p, N_eval=10),
+        # v6 (round 5, the scoped fix from round 4's dissection): v2-v5
+        # established that the erosion is the DIRECTION of the
+        # reference's uncorrected off-policy vanilla PG on stale
+        # replayed actions.  v6 adds the actual off-policy correction:
+        # clipped per-action importance weighting w = min(pi_now/mu, 1)
+        # (AlgConfig.pg_is_clip; behavior probs stored in the replay
+        # transition).  Stale exploratory actions the near-optimal
+        # actor no longer takes get weight ~0 instead of full gradient
+        # weight — removing the erosive terms at their source rather
+        # than bounding their size (v3) or scale (v4).
+        "roadway_s2_retain6": dict(experiment="roadway", stage=2,
+                                   n_envs=16, dir_name="rd_s2r6",
+                                   dir_restore="rd_s1",
+                                   train_from_nothing=0, N_train=e,
+                                   dual_buffer=1, grad_clip=10.0,
+                                   actor_freeze_updates=8000,
+                                   epsilon_start=0.2, target_clip=25.0,
+                                   pg_is_clip=1.0,
+                                   period=p, N_eval=10),
         # particle v2 (round-4 finding): v1 (freeze + eps 0.2) FAILED
         # differently from roadway — no critic divergence (losses stay
         # <1), but reach collapses 0.62 -> 0.05 immediately after the
@@ -331,6 +363,60 @@ def cells(episodes):
                                     actor_freeze_updates=5000,
                                     target_clip=150.0,
                                     period=p, N_eval=10),
+        # ---- round-5: retention recipe extended to the remaining two
+        # particle stage-2 scenarios (verdict item 4).  The proven v2
+        # recipe (critic burn-in freeze + the reference's own epsilon
+        # schedule + bounded TD targets) on cross and merge; the dual
+        # buffer stays OFF — the round-3 regime comparison showed the
+        # 50/50 bad-memory mix oversamples collision episodes ~10x on
+        # collision-dense particle tasks and is what drove the original
+        # cross/merge cells' graft-then-degrade (PERF.md dual-buffer
+        # section).
+        "particle_s2_cross_retain": dict(
+            experiment="particle", particle_config="stage2_cross",
+            stage=2, n_envs=16, dir_name="pt_s2xr", dir_restore="pt_s1",
+            train_from_nothing=0, N_train=e, actor_freeze_updates=5000,
+            target_clip=150.0, period=p, N_eval=10),
+        "particle_s2_merge_retain": dict(
+            experiment="particle", particle_config="stage2_merge",
+            stage=2, n_envs=16, dir_name="pt_s2mr", dir_restore="pt_s1",
+            train_from_nothing=0, N_train=e, actor_freeze_updates=5000,
+            target_clip=150.0, period=p, N_eval=10),
+        # ---- round-5: the paper's core credit-function ablation
+        # (verdict item 2).  CM3 with V(s, g^n) replacing the
+        # counterfactual Q_credit in the advantage (use_V=1,
+        # use_Q_credit=0 — reference alg_credit.py:156-160,307-312;
+        # V builders networks.py:309-470).  The paper's central claim
+        # is that the counterfactual CREDIT function is what matters:
+        # the ordering rows below compare CM3(Q_credit) vs CM3(V) on
+        # the same curriculum.
+        "checkers_s2_V": dict(experiment="checkers", stage=2, n_envs=16,
+                              dir_name="ck_s2V", dir_restore="ck_s1",
+                              train_from_nothing=0, N_train=e,
+                              use_Q_credit=0, use_V=1,
+                              period=p, N_eval=10),
+        "particle_s2_V": dict(experiment="particle",
+                              particle_config="stage2_antipodal", stage=2,
+                              n_envs=16, dir_name="pt_s2V",
+                              dir_restore="pt_s1", train_from_nothing=0,
+                              N_train=e, use_Q_credit=0, use_V=1,
+                              period=p, N_eval=10),
+        # ---- round-5 informational extras (verdict item 2): QMIX on
+        # the 4-agent particle task (selectable per reference
+        # train_multiprocess.py:22-29 — QMIX always trains off-policy)
+        # and the blended alpha*local + (1-alpha)*global baseline
+        # (alg_baseline.py:307-312: use_Q=1, use_V=1, alpha=0.7) on
+        # 2-agent checkers.
+        "particle_qmix": dict(experiment="particle",
+                              particle_config="stage2_antipodal", stage=2,
+                              n_envs=16, alg_name="qmix",
+                              dir_name="pt_qmix", train_from_nothing=1,
+                              N_train=e, period=p, N_eval=10),
+        "checkers_blend": dict(experiment="checkers", stage=2, n_envs=16,
+                               alg_name="coma", use_V=1, use_Q=1,
+                               alpha=0.7, dir_name="ck_blend",
+                               train_from_nothing=1, N_train=e,
+                               period=p, N_eval=10),
         # ---- round-4 checkers-ordering ablation (verdict item 1): one
         # variable at a time vs the round-3 baseline cells.
         # (c) CM3 lr micro-sweep: the one reference-neighborhood knob
@@ -355,6 +441,13 @@ def cells(episodes):
                                     dir_restore="ck_s1",
                                     train_from_nothing=0, N_train=e,
                                     lr_actor=3e-4, auto_resume=1,
+                                    # fail hard if the autosave is
+                                    # missing: this cell is semantically
+                                    # a resume — training from scratch
+                                    # would silently overwrite the lrA
+                                    # seed's artifacts (runner
+                                    # require_resume)
+                                    require_resume=1,
                                     # keep the reference's 100-episode
                                     # eval cadence even at the 2x total
                                     # (p scales with --episodes)
@@ -506,6 +599,39 @@ GATES = {
                             "reference epsilon + bounded targets)",
                             lambda r: (r.get("final10_reach_rate") or 0)
                             >= 0.75),
+    "roadway_s2_retain6": ("final-plateau min-over-agents eval > 8.1 "
+                           "(v6: + clipped importance-weighted PG "
+                           "(pg_is_clip=1) — the actual off-policy "
+                           "correction for the diagnosed PG-direction "
+                           "erosion)",
+                           lambda r: (r.get("final10_min_eval_local")
+                                      or -99) > 8.1),
+    "particle_s2_cross_retain": ("final-plateau goal-reach rate >= 0.75 "
+                                 "(last-10-period mean; v2 recipe on "
+                                 "the 4-agent cross scenario)",
+                                 lambda r: (r.get("final10_reach_rate")
+                                            or 0) >= 0.75),
+    "particle_s2_merge_retain": ("final-plateau goal-reach rate >= 0.75 "
+                                 "(last-10-period mean; v2 recipe on "
+                                 "the 2-agent merge scenario)",
+                                 lambda r: (r.get("final10_reach_rate")
+                                            or 0) >= 0.75),
+    # the V-ablation cells keep the curriculum gates; their real payload
+    # is the credit-vs-V ORDERING row (the paper's core claim)
+    "checkers_s2_V": ("best sum eval > 9.0 (CM3 with V(s,g) baseline "
+                      "replacing Q_credit, use_V=1)",
+                      lambda r: (r["best_eval_global"] or -99) > 9.0),
+    "particle_s2_V": ("best goal-reach rate >= 0.5 (directional; CM3-V "
+                      "ablation — the credit-vs-V ordering row carries "
+                      "the claim)",
+                      lambda r: (r["best_reach_rate"] or 0) >= 0.5),
+    "particle_qmix": ("best_eval_global > -200 (sanity: learns toward "
+                      "landmarks; reach ordering vs CM3 is the claim)",
+                      lambda r: (r["best_eval_global"] or -999) > -200),
+    "checkers_blend": ("best_eval_global > 2.0 (directional; blended "
+                       "alpha-weighted local+global baseline, "
+                       "alg_baseline.py:307-312)",
+                       lambda r: (r["best_eval_global"] or -99) > 2.0),
     # ordering-ablation cells: CM3 variants keep the curriculum gate;
     # QMIX variants keep the directional gate.  Their real payload is
     # the best_eval_global comparison against the round-3 baselines
@@ -576,6 +702,11 @@ SCORE = {
     "roadway_s2_retain5": lambda r: r.get("final10_min_eval_local") or -99,
     "particle_s2_retain": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_retain2": lambda r: r.get("final10_reach_rate") or 0,
+    "roadway_s2_retain6": lambda r: r.get("final10_min_eval_local") or -99,
+    "particle_s2_cross_retain": lambda r: r.get("final10_reach_rate") or 0,
+    "particle_s2_merge_retain": lambda r: r.get("final10_reach_rate") or 0,
+    "particle_s2_V": lambda r: r["best_reach_rate"] or 0,
+    "particle_qmix": lambda r: r["best_reach_rate"] or 0,
 }
 
 # The paper's actual ablation claim is an ORDERING, not a per-cell
@@ -615,6 +746,20 @@ ORDERING = [
       "checkers_coma", "checkers_iac"]),
     ("particle", "best_reach_rate", ["particle_s2", "particle_coma"]),
     ("roadway", "best_eval_global", ["roadway_s2", "roadway_qmix"]),
+    # round-5: the paper's core credit-function claim — the
+    # counterfactual Q_credit baseline beats the V(s,g) state baseline
+    # on the same curriculum (reference alg_credit.py:156-160,307-312;
+    # paper §4.2 ablation)
+    ("checkers credit-vs-V (paper's core ablation)", "best_eval_global",
+     ["checkers_s2", "checkers_s2_V"]),
+    ("particle credit-vs-V (paper's core ablation)", "best_reach_rate",
+     ["particle_s2", "particle_s2_V"]),
+    # round-5 informational: CM3 vs QMIX on the 4-agent particle task
+    ("particle CM3-vs-QMIX (informational)", "best_reach_rate",
+     ["particle_s2", "particle_qmix"]),
+    # round-5 informational: CM3 vs the blended baseline on checkers
+    ("checkers CM3-vs-blended (informational)", "best_eval_global",
+     ["checkers_s2", "checkers_blend"]),
 ]
 
 
