@@ -262,13 +262,21 @@ def bench_train_chunk(n_envs: int = 256, reps: int = 20):
 
 
 def bench_train_multiseed(n_seeds: int = 16, n_envs: int = 256,
-                          reps: int = 10):
+                          reps: int = 10, blocks: int = 5):
     """Vmapped multi-seed training (cm3_tpu/train/multiseed.py design):
     aggregate env-steps/s through the FULL training path with n_seeds
     independent replicas in one jitted program.  Batching the seeds
     amortizes the per-op dispatch cost of the tiny-model learner: one
     v5e chip trains 16 seeds ~136x faster than 16 reference processes
-    would step one env each."""
+    would step one env each.
+
+    Returns (median, lo, hi) over ``blocks`` timed blocks of ``reps``
+    chunks each (the ``__graft_entry__._timed_blocks`` pattern): the
+    round-4 official capture was taken while a training queue shared
+    the chip and recorded 2.5x under the solo rate from ONE timed
+    window — median-of-blocks + the printed spread makes contention
+    visible instead of silently corrupting the number of record
+    (round-4 verdict weak item 1)."""
     from cm3_tpu.algs.cm3 import CM3
     from cm3_tpu.core.config import (AlgConfig, CheckersEnvConfig,
                                      TrainConfig)
@@ -307,15 +315,24 @@ def bench_train_multiseed(n_seeds: int = 16, n_envs: int = 256,
     # parity (runner.train_function) — the headline must measure the
     # path users actually train on
     with jax.default_matmul_precision("float32"):
-        ts, buf, rs, _ = chunk(ts, buf, rs,
-                               jax.random.split(jax.random.PRNGKey(2), s))
-        jax.block_until_ready(rs.episodes)
-        t0 = time.time()
-        for i in range(reps):
+        # warmup (compile + 2 steady-state chunks)
+        for i in range(3):
             ts, buf, rs, _ = chunk(
-                ts, buf, rs, jax.random.split(jax.random.PRNGKey(3 + i), s))
+                ts, buf, rs, jax.random.split(jax.random.PRNGKey(2 + i), s))
         jax.block_until_ready(rs.episodes)
-    return s * n_envs * cfg.steps_per_train * reps / (time.time() - t0)
+        rates = []
+        for b in range(blocks):
+            t0 = time.time()
+            for i in range(reps):
+                ts, buf, rs, _ = chunk(
+                    ts, buf, rs,
+                    jax.random.split(jax.random.PRNGKey(1000 * (b + 1) + i),
+                                     s))
+            jax.block_until_ready(rs.episodes)
+            rates.append(s * n_envs * cfg.steps_per_train * reps
+                         / (time.time() - t0))
+    rates.sort()
+    return rates[len(rates) // 2], rates[0], rates[-1]
 
 
 _DETAIL = {
@@ -326,7 +343,7 @@ _DETAIL = {
     "roadway_fused_env_steps_per_s": bench_roadway_fused,
     "particle_fused_env_steps_per_s": bench_particle_fused,
     "train_chunk_env_steps_per_s": bench_train_chunk,
-    "train_multiseed_env_steps_per_s": bench_train_multiseed,
+    "train_multiseed_env_steps_per_s": lambda: bench_train_multiseed()[0],
 }
 
 
@@ -343,8 +360,10 @@ if __name__ == "__main__":
     # headline: the TRAINING path (the north star's metric), measured
     # FIRST — the 1M-batch fused kernels degrade subsequent dispatch
     # latency on the remote backend ~100x, so they must run after (or in
-    # their own process, as --full does)
-    value = bench_train_multiseed()
+    # their own process, as --full does).  Median [min-max] of 5 timed
+    # blocks: a wide spread means the chip (or host) was contended
+    # during capture — trust the median, or re-run solo.
+    value, lo, hi = bench_train_multiseed()
     try:
         fused = round(bench_checkers_fused())
     except Exception:
@@ -370,5 +389,7 @@ if __name__ == "__main__":
         "value": round(value),
         "unit": "env-steps/s",
         "vs_baseline": round(value / 10e6, 3),
+        "spread_min": round(lo),
+        "spread_max": round(hi),
         "checkers_fused_env_steps_per_s": fused,
     }))

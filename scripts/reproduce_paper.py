@@ -426,11 +426,13 @@ def cells(episodes):
                                 train_from_nothing=0, N_train=e,
                                 lr_actor=3e-4,
                                 period=p, N_eval=10),
-        # budget-extension of the lr-tuned cell (round-4b): the 50k
-        # curves are STILL RISING at the cap on 5/7 seeds (bests land
-        # in the final fifth; 12341's at the last eval), so the 0.1
-        # gap to QMIX's 24.0 optimum is budget-limited, not
-        # capability-limited.  This cell RESUMES finished lrA seeds
+        # budget-extension of the lr-tuned cell (round-4b): tested the
+        # hypothesis that the 0.1 gap to QMIX's 24.0 optimum was
+        # budget-limited (50k curves still rising on 5/7 seeds).
+        # OUTCOME: the 50k-100k window peaked at 22.5 — the plateau
+        # holds at 2x budget, so the gap is capability, not budget
+        # (PERF.md round-4b: closed as a genuine negative
+        # reproduction).  This cell RESUMES finished lrA seeds
         # (scripts/extend_run.py synthesizes the autosave from
         # model_final; the vmapped sweep's own stacked autosave also
         # works) and trains to a 100k TOTAL — an informational 2x

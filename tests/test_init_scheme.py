@@ -149,9 +149,11 @@ def test_actor_lr_anneal_scales_then_stops_actor():
 
 
 def test_actor_lr_anneal_counts_from_freeze_end():
-    """With freeze=1 and anneal=1: step 0 frozen, step 1 would be the
-    first live step but the anneal window (1 update from freeze end)
-    has already closed at lived=1 -> scale 0; the actor never moves."""
+    """With freeze=1 and anneal=2: step 0 is frozen (the actor does not
+    move); step 1 is the FIRST live update and the anneal counts from
+    the freeze end, so lived = step - freeze = 0 and the scale is
+    1 - 0/2 = 1.0 — the actor moves at full rate.  (Guards against the
+    anneal clock starting at step 0 and eating the freeze window.)"""
     cfg = AlgConfig(n_agents=2, stage=2, actor_freeze_updates=1,
                     actor_lr_anneal_updates=2)
     alg = CM3("particle", dict(l_action=5, l_goal=2), cfg)
@@ -163,10 +165,9 @@ def test_actor_lr_anneal_counts_from_freeze_end():
     same = jax.tree_util.tree_all(jax.tree_util.tree_map(
         lambda a, b: bool(jnp.array_equal(a, b)), ts1.actor, ts.actor))
     assert same
-    ts2, _ = update(ts1, batch, 0.1, jax.random.PRNGKey(3))  # lived=0? no:
-    # step counter is 1 at this update -> lived = 0 ... scale 1.0? The
-    # freeze gate releases at step >= freeze (=1), so this update is
-    # LIVE with scale = 1 - 0/2 = 1.0 -> actor moves
+    # step counter is 1 at this update: the freeze gate releases at
+    # step >= freeze (=1), lived = 1 - 1 = 0, scale = 1 - 0/2 = 1.0
+    ts2, _ = update(ts1, batch, 0.1, jax.random.PRNGKey(3))
     moved = not jax.tree_util.tree_all(jax.tree_util.tree_map(
         lambda a, b: bool(jnp.array_equal(a, b)), ts2.actor, ts1.actor))
     assert moved

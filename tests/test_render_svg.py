@@ -85,3 +85,27 @@ def test_runner_render_episodes_entry(tmp_path):
     assert len(paths) == 2
     for p in paths:
         _check_svg(open(p).read(), 4)
+
+
+def test_render_index_html(tmp_path):
+    """scripts/render_index.py builds a browsable index embedding every
+    episode SVG below the root (the reference-viewer-session surface)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.render_index import build_index
+
+    run = tmp_path / "run_a"
+    run.mkdir()
+    (run / "episode_0.svg").write_text("<svg></svg>")
+    (tmp_path / "root.svg").write_text("<svg></svg>")
+    out = build_index(str(tmp_path))
+    html_text = open(out).read()
+    assert "run_a/episode_0.svg" in html_text
+    assert "root.svg" in html_text
+    assert html_text.count("<object") == 2
+    # empty root -> None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert build_index(str(empty)) is None
