@@ -586,10 +586,27 @@ class CM3:
             taken = jnp.sum(probs * a_1h, axis=-1)
             log_pi = jnp.log(taken + 1e-15)                     # [B,N]
             if n == 1:
-                return -jnp.mean(log_pi[:, 0] * sum_a[:, 0])
-            return -jnp.mean(jnp.sum(log_pi * sum_a, axis=1))
+                loss = -jnp.mean(log_pi[:, 0] * sum_a[:, 0])
+            else:
+                loss = -jnp.mean(jnp.sum(log_pi * sum_a, axis=1))
+            ent = jnp.zeros(())
+            if cfg.pg_ent_coef:
+                # entropy floor on the PURE softmax (eps=0 forward):
+                # the eps-mix already floors the BEHAVIOR probs, so
+                # entropy of the mixed distribution stays bounded even
+                # when the softmax underneath has collapsed to a corner
+                # — the bonus must see the corner (cfg.pg_ent_coef).
+                pure = self.actor_probs(p, obs, goals,
+                                        batch.get("a_prev"), 0.0)
+                ent = -jnp.mean(
+                    jnp.sum(pure * jnp.log(pure + 1e-15), axis=-1))
+                loss = loss - cfg.pg_ent_coef * ent
+            return loss, ent
 
-        loss_pi, g_pi = jax.value_and_grad(policy_loss_fn)(ts.actor)
+        (loss_pi, ent_pi), g_pi = jax.value_and_grad(
+            policy_loss_fn, has_aux=True)(ts.actor)
+        if cfg.pg_ent_coef:
+            metrics["policy_entropy"] = ent_pi
         # actor lr anneal (retention recipe part 2): linear 1 -> 0 over
         # actor_lr_anneal_updates, counted after the freeze window ends
         # (cfg docstring; exact lr scaling — see _opt_step)

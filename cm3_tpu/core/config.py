@@ -248,6 +248,18 @@ class AlgConfig:
     # store behavior probs in the replay transition ("bp" field —
     # train/offpolicy.py stores them automatically when this is set).
     pg_is_clip: float = 0.0
+    # opt-in entropy floor on the policy loss (0 = reference-exact, no
+    # entropy term — alg_credit.py:314-360 has none).  Round-5 retention
+    # finding: clipped importance weighting (pg_is_clip) removes the
+    # STALE-action erosion, but once the replay buffer turns on-policy
+    # (mean IS weight ~1) the vanilla PG still drives the softmax to the
+    # simplex corners; the resulting hard-deterministic policies flip
+    # between near-equivalent optima under critic noise and eventually
+    # collapse an agent (rd_s2r6: healthy to ~16k episodes, agent-1
+    # eval 7.9 -> 1.7 at ~29k).  The bonus  -coef * mean(H(pi))  is
+    # computed on the PURE softmax (an eps=0 actor forward), not the
+    # eps-mixed probs, so the eps floor cannot mask a collapsed softmax.
+    pg_ent_coef: float = 0.0
     # stage-2 retention recipe (CM3 only): skip the first K actor/Adam
     # applications so the fresh stage-2 critic branches burn in on data
     # from the frozen grafted actor before policy-gradient updates begin

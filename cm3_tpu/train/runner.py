@@ -117,6 +117,7 @@ def build(master: Dict, experiment: Optional[str] = None,
                                                0)),
         target_clip=master.get("target_clip", 0.0),
         pg_is_clip=master.get("pg_is_clip", 0.0),
+        pg_ent_coef=master.get("pg_ent_coef", 0.0),
         adv_norm=bool(master.get("adv_norm", 0)),
         fused_opt=bool(master.get("fused_opt", 0)))
     nn_cfg = _nn_config(master, experiment, stage)

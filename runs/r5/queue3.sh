@@ -4,12 +4,11 @@
 #      runs/r5/seed_curve.jsonl
 #   2. solo headline bench capture (verdict item 3: reconcile the
 #      record on an uncontended chip) -> runs/r5/bench_solo.json
-# Waits for queue2's sentinel (not just its pid, which can be reused).
+# Waits for queue4's sentinel (not just its pid, which can be reused),
+# so the measurements run on a fully quiesced chip after ALL training.
 cd /root/repo
-# queue2.pid holds the bare pid.  Wait until that pid is gone OR the
-# sentinel lands (covers pid reuse).
-Q2PID=$(cat runs/r5/queue2.pid)
-until grep -q R5_QUEUE2_DONE runs/r5/queue2.log || ! kill -0 "$Q2PID" 2>/dev/null; do
+Q4PID=$(cat runs/r5/queue4.pid)
+until grep -q R5_QUEUE4_DONE runs/r5/queue4.log || ! kill -0 "$Q4PID" 2>/dev/null; do
   sleep 60
 done
 set -x

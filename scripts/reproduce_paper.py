@@ -84,6 +84,7 @@ ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "roadway_s1", "roadway_s2", "roadway_s2_stable",
          "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
          "roadway_s2_retain4", "roadway_s2_retain5", "roadway_s2_retain6",
+         "roadway_s2_retain7",
          "particle_s2_retain", "particle_s2_retain2",
          "particle_s2_cross_retain", "particle_s2_merge_retain",
          "checkers_s2_V", "particle_s2_V",
@@ -103,6 +104,7 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "roadway_s2_retain4": "roadway_s1",
         "roadway_s2_retain5": "roadway_s1",
         "roadway_s2_retain6": "roadway_s1",
+        "roadway_s2_retain7": "roadway_s1",
         "particle_s2_retain": "particle_s1",
         "particle_s2_retain2": "particle_s1",
         "particle_s2_cross_retain": "particle_s1",
@@ -123,7 +125,7 @@ ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "checkers_blend",
              "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
              "roadway_s2_retain4", "roadway_s2_retain5",
-             "roadway_s2_retain6",
+             "roadway_s2_retain6", "roadway_s2_retain7",
              "checkers_s2_lrA_ext",
              "particle_s2_retain", "particle_s2_retain2",
              "particle_s2_cross_retain", "particle_s2_merge_retain",
@@ -345,6 +347,27 @@ def cells(episodes):
                                    actor_freeze_updates=8000,
                                    epsilon_start=0.2, target_clip=25.0,
                                    pg_is_clip=1.0,
+                                   period=p, N_eval=10),
+        # v7 (round 5): v6's in-flight diagnosis — the IS correction
+        # holds retention far longer than v2-v5 (healthy to ~16k
+        # episodes vs ~12k), but once the buffer refills with
+        # near-greedy data the mean IS weight returns to ~1 and the
+        # remaining erosion is ON-policy: the softmax walks to the
+        # simplex corners (eval action dist shows hard zeros from ~17k),
+        # the policy flips between near-equivalent optima under critic
+        # noise, and one agent eventually collapses (seed 12341:
+        # r_eval_1 7.9 -> 1.7 at ~29k).  v7 = v6 + the entropy floor
+        # (pg_ent_coef) — the third option from round 4's scoped-fix
+        # menu — computed on the pure softmax so the eps floor cannot
+        # mask a collapsed policy.
+        "roadway_s2_retain7": dict(experiment="roadway", stage=2,
+                                   n_envs=16, dir_name="rd_s2r7",
+                                   dir_restore="rd_s1",
+                                   train_from_nothing=0, N_train=e,
+                                   dual_buffer=1, grad_clip=10.0,
+                                   actor_freeze_updates=8000,
+                                   epsilon_start=0.2, target_clip=25.0,
+                                   pg_is_clip=1.0, pg_ent_coef=0.01,
                                    period=p, N_eval=10),
         # particle v2 (round-4 finding): v1 (freeze + eps 0.2) FAILED
         # differently from roadway — no critic divergence (losses stay
@@ -608,6 +631,13 @@ GATES = {
                            "erosion)",
                            lambda r: (r.get("final10_min_eval_local")
                                       or -99) > 8.1),
+    "roadway_s2_retain7": ("final-plateau min-over-agents eval > 8.1 "
+                           "(v7: v6 + entropy floor pg_ent_coef=0.01 "
+                           "on the pure softmax — counters the "
+                           "on-policy simplex-corner collapse that "
+                           "remains once the IS weights return to ~1)",
+                           lambda r: (r.get("final10_min_eval_local")
+                                      or -99) > 8.1),
     "particle_s2_cross_retain": ("final-plateau goal-reach rate >= 0.75 "
                                  "(last-10-period mean; v2 recipe on "
                                  "the 4-agent cross scenario)",
@@ -705,6 +735,7 @@ SCORE = {
     "particle_s2_retain": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_retain2": lambda r: r.get("final10_reach_rate") or 0,
     "roadway_s2_retain6": lambda r: r.get("final10_min_eval_local") or -99,
+    "roadway_s2_retain7": lambda r: r.get("final10_min_eval_local") or -99,
     "particle_s2_cross_retain": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_merge_retain": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_V": lambda r: r["best_reach_rate"] or 0,
