@@ -11,4 +11,5 @@ until grep -q R5_QUEUE2_DONE runs/r5/queue2.log || ! kill -0 "$Q2PID" 2>/dev/nul
 done
 set -x
 python scripts/ablation_vmapped.py --cells roadway_s2_retain7 --episodes 30000 --seeds 3
+python scripts/ablation_vmapped.py --cells roadway_s2_retain8 --episodes 30000 --seeds 3
 echo R5_QUEUE4_DONE

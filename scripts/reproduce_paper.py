@@ -84,7 +84,7 @@ ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "roadway_s1", "roadway_s2", "roadway_s2_stable",
          "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
          "roadway_s2_retain4", "roadway_s2_retain5", "roadway_s2_retain6",
-         "roadway_s2_retain7",
+         "roadway_s2_retain7", "roadway_s2_retain8",
          "particle_s2_retain", "particle_s2_retain2",
          "particle_s2_cross_retain", "particle_s2_merge_retain",
          "checkers_s2_V", "particle_s2_V",
@@ -105,6 +105,7 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "roadway_s2_retain5": "roadway_s1",
         "roadway_s2_retain6": "roadway_s1",
         "roadway_s2_retain7": "roadway_s1",
+        "roadway_s2_retain8": "roadway_s1",
         "particle_s2_retain": "particle_s1",
         "particle_s2_retain2": "particle_s1",
         "particle_s2_cross_retain": "particle_s1",
@@ -126,6 +127,7 @@ ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "roadway_s2_retain", "roadway_s2_retain2", "roadway_s2_retain3",
              "roadway_s2_retain4", "roadway_s2_retain5",
              "roadway_s2_retain6", "roadway_s2_retain7",
+             "roadway_s2_retain8",
              "checkers_s2_lrA_ext",
              "particle_s2_retain", "particle_s2_retain2",
              "particle_s2_cross_retain", "particle_s2_merge_retain",
@@ -368,6 +370,22 @@ def cells(episodes):
                                    actor_freeze_updates=8000,
                                    epsilon_start=0.2, target_clip=25.0,
                                    pg_is_clip=1.0, pg_ent_coef=0.01,
+                                   period=p, N_eval=10),
+        # v8: the coefficient-scale control for v7.  The recipe runs on
+        # RAW (un-normalized) advantages of scale ~10 (target_clip=25),
+        # so the textbook 0.01 — calibrated for normalized advantages —
+        # may be sub-noise against erosive PG terms that reach |pl|~20+
+        # in v6's logs; 0.1 is the same ~1% ratio the textbook value
+        # has against unit-scale advantages.  Running both gives a
+        # scale reading whichever way the gates land.
+        "roadway_s2_retain8": dict(experiment="roadway", stage=2,
+                                   n_envs=16, dir_name="rd_s2r8",
+                                   dir_restore="rd_s1",
+                                   train_from_nothing=0, N_train=e,
+                                   dual_buffer=1, grad_clip=10.0,
+                                   actor_freeze_updates=8000,
+                                   epsilon_start=0.2, target_clip=25.0,
+                                   pg_is_clip=1.0, pg_ent_coef=0.1,
                                    period=p, N_eval=10),
         # particle v2 (round-4 finding): v1 (freeze + eps 0.2) FAILED
         # differently from roadway — no critic divergence (losses stay
@@ -638,6 +656,11 @@ GATES = {
                            "remains once the IS weights return to ~1)",
                            lambda r: (r.get("final10_min_eval_local")
                                       or -99) > 8.1),
+    "roadway_s2_retain8": ("final-plateau min-over-agents eval > 8.1 "
+                           "(v8: v7 at pg_ent_coef=0.1 — the "
+                           "raw-advantage-scale coefficient control)",
+                           lambda r: (r.get("final10_min_eval_local")
+                                      or -99) > 8.1),
     "particle_s2_cross_retain": ("final-plateau goal-reach rate >= 0.75 "
                                  "(last-10-period mean; v2 recipe on "
                                  "the 4-agent cross scenario)",
@@ -736,6 +759,7 @@ SCORE = {
     "particle_s2_retain2": lambda r: r.get("final10_reach_rate") or 0,
     "roadway_s2_retain6": lambda r: r.get("final10_min_eval_local") or -99,
     "roadway_s2_retain7": lambda r: r.get("final10_min_eval_local") or -99,
+    "roadway_s2_retain8": lambda r: r.get("final10_min_eval_local") or -99,
     "particle_s2_cross_retain": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_merge_retain": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_V": lambda r: r["best_reach_rate"] or 0,
