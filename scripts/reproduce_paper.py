@@ -86,7 +86,8 @@ ORDER = ["checkers_s1", "checkers_s2", "particle_s1", "particle_s2",
          "roadway_s2_retain4", "roadway_s2_retain5", "roadway_s2_retain6",
          "roadway_s2_retain7", "roadway_s2_retain8",
          "particle_s2_retain", "particle_s2_retain2",
-         "particle_s2_cross_retain", "particle_s2_merge_retain",
+         "particle_s2_cross_retain", "particle_s2_cross_retain2",
+         "particle_s2_merge_retain",
          "checkers_s2_V", "particle_s2_V",
          "checkers_qmix", "checkers_qmix_ref", "checkers_coma",
          "checkers_iac", "particle_coma", "particle_qmix", "roadway_qmix",
@@ -109,6 +110,7 @@ DEPS = {"checkers_s2": "checkers_s1", "particle_s2": "particle_s1",
         "particle_s2_retain": "particle_s1",
         "particle_s2_retain2": "particle_s1",
         "particle_s2_cross_retain": "particle_s1",
+        "particle_s2_cross_retain2": "particle_s1",
         "particle_s2_merge_retain": "particle_s1",
         "checkers_s2_V": "checkers_s1",
         "particle_s2_V": "particle_s1",
@@ -130,7 +132,8 @@ ALL_SEEDS = {"roadway_s2_stable", "checkers_qmix", "checkers_qmix_ref",
              "roadway_s2_retain8",
              "checkers_s2_lrA_ext",
              "particle_s2_retain", "particle_s2_retain2",
-             "particle_s2_cross_retain", "particle_s2_merge_retain",
+             "particle_s2_cross_retain", "particle_s2_cross_retain2",
+             "particle_s2_merge_retain",
              "checkers_s2_V", "particle_s2_V",
              "checkers_s2_lrA", "checkers_s2_lrB", "checkers_s2_tn", "checkers_s2_e1",
              "checkers_qmix_tn", "checkers_qmix_tf1", "checkers_qmix_e1"}
@@ -418,6 +421,17 @@ def cells(episodes):
             stage=2, n_envs=16, dir_name="pt_s2xr", dir_restore="pt_s1",
             train_from_nothing=0, N_train=e, actor_freeze_updates=5000,
             target_clip=150.0, period=p, N_eval=10),
+        # cross v2 (round 5): the v2 recipe masters cross (best reach
+        # 1.0 every seed) but erodes (final10 0.125-0.398) — the same
+        # post-mastery on-policy PG decay dissected on roadway.  The
+        # particle CM3 regime is ON-policy (buffer discarded each
+        # burst), so the IS correction is structurally a no-op here and
+        # the entropy floor is the applicable departure.
+        "particle_s2_cross_retain2": dict(
+            experiment="particle", particle_config="stage2_cross",
+            stage=2, n_envs=16, dir_name="pt_s2xr2", dir_restore="pt_s1",
+            train_from_nothing=0, N_train=e, actor_freeze_updates=5000,
+            target_clip=150.0, pg_ent_coef=0.01, period=p, N_eval=10),
         "particle_s2_merge_retain": dict(
             experiment="particle", particle_config="stage2_merge",
             stage=2, n_envs=16, dir_name="pt_s2mr", dir_restore="pt_s1",
@@ -666,6 +680,13 @@ GATES = {
                                  "the 4-agent cross scenario)",
                                  lambda r: (r.get("final10_reach_rate")
                                             or 0) >= 0.75),
+    "particle_s2_cross_retain2": ("final-plateau goal-reach rate >= 0.75 "
+                                  "(last-10-period mean; cross v2: the "
+                                  "retention recipe + entropy floor "
+                                  "pg_ent_coef=0.01 against the "
+                                  "post-mastery on-policy PG decay)",
+                                  lambda r: (r.get("final10_reach_rate")
+                                             or 0) >= 0.75),
     "particle_s2_merge_retain": ("final-plateau goal-reach rate >= 0.75 "
                                  "(last-10-period mean; v2 recipe on "
                                  "the 2-agent merge scenario)",
@@ -761,6 +782,7 @@ SCORE = {
     "roadway_s2_retain7": lambda r: r.get("final10_min_eval_local") or -99,
     "roadway_s2_retain8": lambda r: r.get("final10_min_eval_local") or -99,
     "particle_s2_cross_retain": lambda r: r.get("final10_reach_rate") or 0,
+    "particle_s2_cross_retain2": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_merge_retain": lambda r: r.get("final10_reach_rate") or 0,
     "particle_s2_V": lambda r: r["best_reach_rate"] or 0,
     "particle_qmix": lambda r: r["best_reach_rate"] or 0,
