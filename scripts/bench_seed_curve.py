@@ -24,8 +24,14 @@ skew the next (the isolation pattern bench.py --full uses).
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
+
+# the sweep re-invokes THIS FILE with --one per point; running a file
+# inside scripts/ puts scripts/ (not the repo root) at sys.path[0], so
+# the child could not import cm3_tpu without this bootstrap
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_point_buffer(n_seeds: int, buffer_size: int, n_envs: int = 256,
