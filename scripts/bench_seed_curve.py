@@ -136,11 +136,21 @@ def main():
         try:
             row = json.loads(out.stdout.strip().splitlines()[-1])
         except (IndexError, ValueError):
-            err = (out.stderr or "")[-400:]
+            # search BOTH streams in full: the OOM detail arrives as a
+            # remote-compile error on stdout/stderr well before the
+            # final traceback line (observed: "Ran out of memory in
+            # memory space hbm. Used 19.71G of 15.75G" at 24x20k)
+            full = (out.stdout or "") + (out.stderr or "")
+            oom = ("RESOURCE_EXHAUSTED" in full or "Out of memory" in full
+                   or "Ran out of memory" in full)
+            detail = next((ln.strip() for ln in full.splitlines()
+                           if "Ran out of memory" in ln
+                           or "RESOURCE_EXHAUSTED" in ln), None)
+            err = full[-400:]
             row = {"n_seeds": n_seeds, "buffer_size": buffer_size,
-                   "oom": "RESOURCE_EXHAUSTED" in err or "Out of memory"
-                   in err, "error": err.strip().splitlines()[-1]
-                   if err.strip() else "no output"}
+                   "oom": oom,
+                   "error": detail or (err.strip().splitlines()[-1]
+                                       if err.strip() else "no output")}
         results.append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps({"seed_curve": results}))
